@@ -1,0 +1,94 @@
+"""tpuar command-line driver.
+
+Same verbs, flags, and defaults as the reference CLI (jiahansu/GPUAR
+src/main.cpp:85-96): ``tpuar c|d --in=F --out=G [--host] [--device=N]``.
+Compress is the default mode when ``d`` is absent (src/main.cpp:102); the
+default output name is ``output.gip`` (:130).  ``--host`` selects the native
+serial backend; otherwise the batched TPU backend runs on all local devices
+(``--device`` pins one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gpuar_tpu.utils.stats import ProgressMonitor
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpuar",
+        description="TPU-native block-parallel adaptive arithmetic coder",
+    )
+    p.add_argument("mode", nargs="?", default="c", choices=["c", "d"],
+                   help="c: compress (default), d: decompress")
+    p.add_argument("--in", dest="input", required=True, help="input file")
+    p.add_argument("--out", dest="output", default="output.gip",
+                   help="output file (default output.gip)")
+    p.add_argument("--host", action="store_true",
+                   help="run the codec on the host CPU (native golden path)")
+    p.add_argument("--device", type=int, default=None,
+                   help="pin one accelerator device by index; default: all")
+    p.add_argument("--batch-packets", type=int, default=None,
+                   help="packets per super-batch (bounds memory)")
+    p.add_argument("--nointeractive", action="store_true",
+                   help="suppress progress output")
+    p.add_argument("--json", action="store_true",
+                   help="print stats as one JSON line")
+    return p
+
+
+def make_compressor(args):
+    kwargs = {}
+    if args.batch_packets:
+        kwargs["super_batch_packets"] = args.batch_packets
+    if args.host:
+        from gpuar_tpu.pipeline import HostCompressor
+        return HostCompressor(**kwargs)
+    try:
+        from gpuar_tpu.parallel.runner import TPUCompressor
+        return TPUCompressor(device_index=args.device, **kwargs)
+    except Exception as e:  # no usable accelerator: fall back like main.cpp:142
+        print(f"Attention: accelerator unavailable ({e}); "
+              "executing codec on host.", file=sys.stderr)
+        from gpuar_tpu.pipeline import HostCompressor
+        return HostCompressor(**kwargs)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    monitor = ProgressMonitor(enabled=not args.nointeractive and not args.json)
+    compressor = make_compressor(args)
+
+    try:
+        if args.mode == "c":
+            if not args.json:
+                print(f"Start to compress {args.input} to {args.output}.")
+            info = compressor.compress(args.input, args.output, monitor)
+        else:
+            if not args.json:
+                print(f"Start to decompress {args.input} to {args.output}.")
+            info = compressor.decompress(args.input, args.output, monitor)
+    except (OSError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    if args.json:
+        print(info.to_json())
+        return 0
+
+    print("Complete\n")
+    print("Statistics:")
+    print(f"Uncompressed file size {info.uncompressed_file_size} bytes")
+    print(f"Compressed file size  {info.compressed_file_size} bytes")
+    print(f"Compression ratio     {info.ratio:.6g}")
+    print(f"Compute time          {info.process_time:.6g} s")
+    print(f"I/O time              {info.io_time:.6g} s")
+    print(f"Throughput            {info.throughput_gbps:.6g} GB/s")
+    print(f"Score                 {info.score:.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,231 @@
+// Serial host codec: the native verification oracle and `--host` backend.
+//
+// Re-implements the adaptive order-0 arithmetic coder that the reference
+// (jiahansu/GPUAR) compiles __host__ __device__ in src/gpuar_kernel.cu
+// (encode :487-531, decode :848-892).  Same algorithm, fresh structure:
+// the model is an explicit cumulative-frequency row (the reference uses a
+// Fenwick tree storing identical counts, :205-238), and the decode symbol
+// search is a branch-free binary search over that row (:727-763 equivalent).
+// Output bitstreams are bit-identical to the reference by construction.
+//
+// Exposed C ABI (loaded from Python via ctypes):
+//   tg_encode_packet / tg_decode_packet      one packet
+//   tg_encode_batch  / tg_decode_batch       fixed-stride packet batches
+//   tg_encode_stream / tg_decode_stream      back-to-back .gip packet bodies
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kModelSize = 257;   // cumulative entries C[0..256]
+constexpr uint32_t kInitCum = 256;
+constexpr uint32_t kMsb = 0x8000u;
+constexpr uint32_t kSecond = 0x4000u;
+constexpr uint32_t kLowMask = 0xFFFFu;
+constexpr int kHeader = 4;        // [u16 total][u16 raw]
+
+struct Model {
+  // C[i] = cumulative count of symbols < i.  u16 suffices: max 256+8192.
+  uint16_t cum[kModelSize];
+  uint32_t cumprob;
+
+  void reset() {
+    for (int i = 0; i < kModelSize; ++i) cum[i] = static_cast<uint16_t>(i);
+    cumprob = kInitCum;
+  }
+
+  // Account one occurrence of `sym` (suffix increment auto-vectorises).
+  void bump(int sym) {
+    for (int i = sym + 1; i < kModelSize; ++i) ++cum[i];
+    ++cumprob;
+  }
+
+  // Largest c with cum[c] <= unscaled (row is strictly increasing).
+  int find(uint32_t unscaled) const {
+    int lo = 0, hi = kModelSize - 1;   // search over indices 1..256
+    while (hi - lo > 1) {
+      int mid = (lo + hi) >> 1;
+      if (cum[mid] <= unscaled) lo = mid; else hi = mid;
+    }
+    return lo;
+  }
+};
+
+// Narrow [lo, hi] to sym's cumulative share, then adapt the model.
+// Mirrors applySymbolRange (src/gpuar_kernel.cu:256-299): new hi uses old lo,
+// products are < 2^31, results wrap to 16 bits.
+inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
+  const uint32_t span = hi - lo + 1;
+  hi = (lo + static_cast<uint32_t>(m.cum[sym + 1]) * span / m.cumprob - 1) & kLowMask;
+  lo = (lo + static_cast<uint32_t>(m.cum[sym]) * span / m.cumprob) & kLowMask;
+  m.bump(sym);
+}
+
+struct BitOut {
+  uint8_t* p;
+  uint32_t acc = 0;
+  int n = 0;
+
+  void put(uint32_t bit) {
+    acc = (acc << 1) | (bit & 1u);
+    if (++n == 8) { *p++ = static_cast<uint8_t>(acc); acc = 0; n = 0; }
+  }
+  void close() {  // left-align final partial byte (writeClose :430-439)
+    if (n) { *p++ = static_cast<uint8_t>(acc << (8 - n)); acc = 0; n = 0; }
+  }
+};
+
+struct BitIn {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t acc = 0;
+  int n = 0;
+
+  uint32_t get() {  // reads past the stream return 0 (values never matter)
+    if (n == 0) { acc = (p < end) ? *p : 0u; ++p; n = 8; }
+    --n;
+    return (acc >> n) & 1u;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode n raw bytes into out (capacity >= n + 512 + 4). Returns total
+// packet length including the 4-byte header.
+int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
+  Model m;
+  m.reset();
+  BitOut bo{out + kHeader};
+  uint32_t lo = 0, hi = kLowMask, under = 0;
+
+  for (int i = 0; i < n; ++i) {
+    apply_range(m, in[i], lo, hi);
+    // Renormalise (writeEncodedBits :321-367).
+    for (;;) {
+      if (((hi ^ lo) & kMsb) == 0) {
+        const uint32_t b = hi >> 15;
+        bo.put(b);
+        for (; under; --under) bo.put(b ^ 1u);
+      } else if ((lo & kSecond) && !(hi & kSecond)) {
+        ++under;
+        lo &= ~(kMsb | kSecond);
+        hi |= kSecond;
+      } else {
+        break;
+      }
+      lo = (lo << 1) & kLowMask;
+      hi = ((hi << 1) | 1) & kLowMask;
+    }
+  }
+
+  // Tail flush (writeRemaining :379-388).
+  const uint32_t tb = (lo >> 14) & 1u;
+  bo.put(tb);
+  for (uint32_t k = 0; k <= under; ++k) bo.put(tb ^ 1u);
+  bo.close();
+
+  const int len = static_cast<int>(bo.p - out);
+  out[0] = static_cast<uint8_t>(len);
+  out[1] = static_cast<uint8_t>(len >> 8);
+  out[2] = static_cast<uint8_t>(n);
+  out[3] = static_cast<uint8_t>(n >> 8);
+  return len;
+}
+
+// Decode one packet (header + bitstream) into out (capacity >= raw size).
+// Returns the number of decoded bytes.
+int tg_decode_packet(const uint8_t* in, uint8_t* out) {
+  const int total = in[0] | (in[1] << 8);
+  const int raw = in[2] | (in[3] << 8);
+  BitIn bi{in + kHeader, in + total};
+  Model m;
+  m.reset();
+
+  uint32_t code = 0;
+  for (int i = 0; i < 16; ++i) code = (code << 1) | bi.get();
+  uint32_t lo = 0, hi = kLowMask;
+
+  for (int i = 0; i < raw; ++i) {
+    const uint32_t span = hi - lo + 1;
+    const uint32_t unscaled = ((code - lo + 1) * m.cumprob - 1) / span;
+    const int sym = m.find(unscaled);
+    out[i] = static_cast<uint8_t>(sym);
+    apply_range(m, sym, lo, hi);
+    // Mirror renormalisation (readEncodedBits :787-836).
+    for (;;) {
+      if (((hi ^ lo) & kMsb) == 0) {
+        // settled MSB: just shift it out
+      } else if ((lo & kSecond) && !(hi & kSecond)) {
+        lo &= ~(kMsb | kSecond);
+        hi |= kSecond;
+        code ^= kSecond;
+      } else {
+        break;
+      }
+      lo = (lo << 1) & kLowMask;
+      hi = ((hi << 1) | 1) & kLowMask;
+      code = ((code << 1) | bi.get()) & kLowMask;
+    }
+  }
+  return raw;
+}
+
+// Encode `total` raw bytes as ceil(total/packet_size) packets written at
+// fixed `out_stride` offsets. lengths[i] receives each packet's total size.
+// Returns the packet count.
+long tg_encode_batch(const uint8_t* in, long total, int packet_size,
+                     uint8_t* out, long out_stride, int* lengths) {
+  long count = 0;
+  for (long off = 0; off < total; off += packet_size, ++count) {
+    const int n = static_cast<int>(total - off < packet_size ? total - off
+                                                             : packet_size);
+    lengths[count] = tg_encode_packet(in + off, n, out + count * out_stride);
+  }
+  return count;
+}
+
+// Decode `npackets` packets at fixed `in_stride` offsets into out at fixed
+// `out_stride` offsets. raw_lengths[i] receives each decoded size.
+void tg_decode_batch(const uint8_t* in, long in_stride, long npackets,
+                     uint8_t* out, long out_stride, int* raw_lengths) {
+  for (long i = 0; i < npackets; ++i) {
+    raw_lengths[i] = tg_decode_packet(in + i * in_stride, out + i * out_stride);
+  }
+}
+
+// Encode `total` raw bytes into a back-to-back .gip packet body.
+// Returns the compressed body length, or -1 if out_cap is too small.
+long tg_encode_stream(const uint8_t* in, long total, int packet_size,
+                      uint8_t* out, long out_cap) {
+  long w = 0;
+  for (long off = 0; off < total; off += packet_size) {
+    const int n = static_cast<int>(total - off < packet_size ? total - off
+                                                             : packet_size);
+    if (w + n + 512 + kHeader > out_cap) return -1;
+    w += tg_encode_packet(in + off, n, out + w);
+  }
+  return w;
+}
+
+// Decode a back-to-back .gip packet body of `total` bytes.
+// Returns decoded length, or -1 on malformed framing / -2 on overflow.
+long tg_decode_stream(const uint8_t* in, long total, uint8_t* out,
+                      long out_cap) {
+  long r = 0, w = 0;
+  while (r < total) {
+    if (r + kHeader > total) return -1;
+    const int psize = in[r] | (in[r + 1] << 8);
+    const int raw = in[r + 2] | (in[r + 3] << 8);
+    if (psize < kHeader || r + psize > total) return -1;
+    if (w + raw > out_cap) return -2;
+    tg_decode_packet(in + r, out + w);
+    r += psize;
+    w += raw;
+  }
+  return w;
+}
+
+}  // extern "C"

@@ -1,0 +1,209 @@
+"""Compressor orchestration: file → packets → codec backend → .gip file.
+
+This is the equivalent of the reference's L4 layer (src/compressor.hpp,
+src/cpu_compressor.cpp, src/gpu_compressor.cpp): it owns file I/O, splits
+input into independent fixed-size packets, streams bounded super-batches
+through a codec backend, and splices the variable-length results in order
+into the .gip container.
+
+Backends:
+  * HostCompressor — the native C++ golden codec, serial per packet
+    (reference `--host` path, src/cpu_compressor.cpp:112-207).
+  * TPUCompressor  — batched JAX/Pallas codec over all local devices
+    (reference GPU path, src/gpu_compressor.cpp:124-196), defined in
+    gpuar_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from gpuar_tpu import container
+from gpuar_tpu import native
+from gpuar_tpu.config import (
+    COMPRESSED_PACKET_SIZE,
+    PACKET_HEADER_LENGTH,
+    UNCOMPRESSED_PACKET_SIZE,
+)
+from gpuar_tpu.utils.stats import CompressionInfo, ProgressMonitor, SplitTimer
+
+# Bounded device/host memory per super-batch, like the reference's
+# SM-count-sized batches (src/gpu_compressor.cpp:77-79).
+DEFAULT_SUPER_BATCH_PACKETS = 8192  # 64 MiB raw per super-batch
+
+
+class Compressor:
+    """Base: filenames + the compress/decompress drive loop."""
+
+    def __init__(self, super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS):
+        self.super_batch_packets = super_batch_packets
+
+    # --- backend interface -------------------------------------------------
+    def encode_batch(self, raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """raw bytes [n] -> (packets [p, COMPRESSED_PACKET_SIZE], lengths [p])."""
+        raise NotImplementedError
+
+    def decode_batch(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
+        """packets [p, COMPRESSED_PACKET_SIZE] -> raw [p, UNCOMPRESSED_PACKET_SIZE]."""
+        raise NotImplementedError
+
+    # --- drive loops --------------------------------------------------------
+    def compress(self, src: str | Path, dst: str | Path,
+                 monitor: ProgressMonitor | None = None) -> CompressionInfo:
+        monitor = monitor or ProgressMonitor(enabled=False)
+        monitor.reset()
+        info = CompressionInfo()
+        process, io = SplitTimer(), SplitTimer()
+        batch_bytes = self.super_batch_packets * UNCOMPRESSED_PACKET_SIZE
+
+        with io:
+            info.uncompressed_file_size = os.path.getsize(src)
+            fin = open(src, "rb")
+            fout = open(dst, "wb")
+            fout.write(b"\0" * container.HEADER_LENGTH)  # placeholder header
+        info.compressed_file_size = container.HEADER_LENGTH
+
+        try:
+            while True:
+                with io:
+                    chunk = fin.read(batch_bytes)
+                if not chunk:
+                    break
+                with process:
+                    raw = np.frombuffer(chunk, dtype=np.uint8)
+                    packets, lengths = self.encode_batch(raw)
+                with io:
+                    body = _splice(packets, lengths)
+                    fout.write(body)
+                info.compressed_file_size += len(body)
+                info.processed_uncompressed_size += len(chunk)
+                monitor.update(info)
+
+            with io:
+                fout.seek(0)
+                header = container.FileHeader(
+                    uncompressed_size=info.uncompressed_file_size,
+                    compressed_size=info.compressed_file_size,
+                )
+                fout.write(header.to_bytes())
+        finally:
+            fin.close()
+            fout.close()
+
+        monitor.finish()
+        info.process_time = process.total
+        info.io_time = io.total
+        return info
+
+    def decompress(self, src: str | Path, dst: str | Path,
+                   monitor: ProgressMonitor | None = None) -> CompressionInfo:
+        monitor = monitor or ProgressMonitor(enabled=False)
+        monitor.reset()
+        info = CompressionInfo()
+        process, io = SplitTimer(), SplitTimer()
+
+        with io:
+            actual = os.path.getsize(src)
+            fin = open(src, "rb")
+            head_raw = fin.read(container.HEADER_LENGTH)
+        header = container.FileHeader.from_bytes(head_raw, actual_file_size=actual)
+        info.uncompressed_file_size = header.uncompressed_size
+        info.compressed_file_size = header.compressed_size
+
+        with io:
+            fout = open(dst, "wb")
+        try:
+            while True:
+                with io:
+                    packets, raw_sizes = _read_packet_batch(
+                        fin, self.super_batch_packets
+                    )
+                if packets is None:
+                    break
+                with process:
+                    raw = self.decode_batch(packets, raw_sizes)
+                with io:
+                    for i in range(raw.shape[0]):
+                        fout.write(raw[i, : raw_sizes[i]].tobytes())
+                info.processed_uncompressed_size += int(raw_sizes.sum())
+                monitor.update(info)
+        finally:
+            fin.close()
+            fout.close()
+
+        monitor.finish()
+        info.process_time = process.total
+        info.io_time = io.total
+        return info
+
+
+def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Concatenate variable-length packets from a fixed-stride batch."""
+    views = [packets[i, : lengths[i]] for i in range(packets.shape[0])]
+    return np.concatenate(views).tobytes() if views else b""
+
+
+def _read_packet_batch(fin, max_packets: int):
+    """Read up to max_packets framed packets into a fixed-stride batch.
+
+    Returns (packets [p, COMPRESSED_PACKET_SIZE] uint8, raw_sizes [p]) or
+    (None, None) at EOF.  Mirrors the reference's header-then-body reads
+    (src/gpu_compressor.cpp:299-310) with container validation.
+    """
+    packets = np.zeros((max_packets, COMPRESSED_PACKET_SIZE), dtype=np.uint8)
+    raw_sizes = np.zeros(max_packets, dtype=np.int32)
+    count = 0
+    while count < max_packets:
+        head = fin.read(PACKET_HEADER_LENGTH)
+        if not head:
+            break
+        if len(head) < PACKET_HEADER_LENGTH:
+            raise container.ContainerError(
+                "Incorrect file format: truncated packet header"
+            )
+        total, raw = container.packet_sizes(head)
+        container.validate_packet_header(total, raw, UNCOMPRESSED_PACKET_SIZE)
+        body = fin.read(total - PACKET_HEADER_LENGTH)
+        if len(body) < total - PACKET_HEADER_LENGTH:
+            raise container.ContainerError(
+                "Incorrect file format: truncated packet body"
+            )
+        packets[count, :PACKET_HEADER_LENGTH] = np.frombuffer(head, dtype=np.uint8)
+        packets[count, PACKET_HEADER_LENGTH:total] = np.frombuffer(
+            body, dtype=np.uint8
+        )
+        raw_sizes[count] = raw
+        count += 1
+    if count == 0:
+        return None, None
+    return packets[:count], raw_sizes[:count]
+
+
+class HostCompressor(Compressor):
+    """Serial native codec backend (the reference's --host mode)."""
+
+    def encode_batch(self, raw: np.ndarray):
+        return native.encode_batch(raw)
+
+    def decode_batch(self, packets: np.ndarray, raw_sizes: np.ndarray):
+        out, lengths = native.decode_batch(packets)
+        if not np.array_equal(lengths, raw_sizes):
+            raise container.ContainerError(
+                "Incorrect file format: decoded size mismatch"
+            )
+        return out
+
+
+def generate_random_file(path: str | Path, size: int, seed: int | None = None) -> None:
+    """Random test corpus, like Compressor::generateRandomFile
+    (src/compressor.cpp:28-44)."""
+    rng = np.random.default_rng(seed)
+    with open(path, "wb") as f:
+        remaining = size
+        while remaining > 0:
+            n = min(remaining, 64 * 1024 * 1024)
+            f.write(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+            remaining -= n

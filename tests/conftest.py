@@ -1,0 +1,36 @@
+import os
+import sys
+
+# Force JAX onto a virtual 8-device CPU mesh for all tests: multi-chip
+# sharding code is validated without TPU hardware (the standard JAX recipe).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xA12C0DE)
+
+
+def fixture_corpora(rng, max_size=None):
+    """The fixture classes from SURVEY.md §4: boundary sizes and contents."""
+    sizes = [0, 1, 2, 15, 16, 17, 255, 4096, 8191, 8192, 8193, 16384, 20000]
+    if max_size is not None:
+        sizes = [s for s in sizes if s <= max_size]
+    cases = []
+    for s in sizes:
+        cases.append((f"random_{s}", rng.integers(0, 256, s, np.uint8).tobytes()))
+    cases.append(("all_zero", bytes(8192)))
+    cases.append(("all_ff", b"\xff" * 8192))
+    cases.append(("text", (b"the quick brown fox jumps over the lazy dog. " * 400)[:8192 + 300]))
+    cases.append(("skewed", bytes(rng.choice([0, 1, 2, 255], size=9000, p=[0.7, 0.2, 0.05, 0.05]).astype(np.uint8))))
+    return cases

@@ -1,0 +1,82 @@
+"""Golden NumPy codec: round-trip properties + native C++ bit-equality."""
+
+import numpy as np
+import pytest
+
+from gpuar_tpu import native
+from gpuar_tpu.config import PACKET_HEADER_LENGTH, UNCOMPRESSED_PACKET_SIZE
+from gpuar_tpu.ops import golden
+from tests.conftest import fixture_corpora
+
+
+def packets_of(data: bytes):
+    for off in range(0, max(len(data), 1), UNCOMPRESSED_PACKET_SIZE):
+        yield data[off : off + UNCOMPRESSED_PACKET_SIZE]
+
+
+def test_golden_roundtrip_small(rng):
+    for name, data in fixture_corpora(rng, max_size=20000):
+        for pkt in packets_of(data):
+            enc = golden.encode_packet(pkt)
+            total = enc[0] | (enc[1] << 8)
+            raw = enc[2] | (enc[3] << 8)
+            assert total == len(enc), name
+            assert raw == len(pkt), name
+            assert golden.decode_packet(enc) == pkt, name
+
+
+def test_header_fields_empty_packet():
+    enc = golden.encode_packet(b"")
+    # Even an empty packet carries the tail flush bits.
+    assert len(enc) > PACKET_HEADER_LENGTH
+    assert enc[2] == 0 and enc[3] == 0
+    assert golden.decode_packet(enc) == b""
+
+
+def test_native_matches_golden_bit_for_bit(rng):
+    for name, data in fixture_corpora(rng, max_size=20000):
+        for pkt in packets_of(data):
+            g = golden.encode_packet(pkt)
+            n = native.encode_packet(pkt)
+            assert g == n, f"{name}: native encode diverged from golden"
+            assert native.decode_packet(g) == pkt, name
+
+
+def test_native_batch_matches_packetwise(rng):
+    data = rng.integers(0, 256, 3 * UNCOMPRESSED_PACKET_SIZE + 777, np.uint8)
+    packets, lengths = native.encode_batch(data)
+    assert packets.shape[0] == 4
+    off = 0
+    for i in range(4):
+        pkt = data[off : off + UNCOMPRESSED_PACKET_SIZE].tobytes()
+        expect = golden.encode_packet(pkt)
+        assert lengths[i] == len(expect)
+        assert packets[i, : lengths[i]].tobytes() == expect
+        off += UNCOMPRESSED_PACKET_SIZE
+    out, raws = native.decode_batch(packets)
+    assert b"".join(out[i, : raws[i]].tobytes() for i in range(4)) == data.tobytes()
+
+
+def test_native_stream_roundtrip(rng):
+    data = rng.integers(0, 256, 5 * UNCOMPRESSED_PACKET_SIZE + 123, np.uint8)
+    body = native.encode_stream(data)
+    back = native.decode_stream(body, out_cap=data.size)
+    assert back == data.tobytes()
+
+
+def test_compressed_size_bound(rng):
+    """Worst case must fit the 512-byte slack (src/gpu.h:8)."""
+    # Adversarial-ish: cycle all symbols to keep every count minimal.
+    cyc = bytes(np.tile(np.arange(256, dtype=np.uint8), 32))
+    for data in (cyc, bytes(rng.integers(0, 256, 8192, np.uint8))):
+        enc = native.encode_packet(data)
+        assert len(enc) <= 8192 + 512
+
+
+def test_decoder_ignores_trailing_garbage(rng):
+    """Reference decoders read past the written stream (src/gpuar_kernel.cu
+    readBit) — bit values there must never change the output."""
+    pkt = bytes(rng.integers(0, 256, 4096, np.uint8))
+    enc = bytearray(golden.encode_packet(pkt))
+    enc.extend(b"\xa5" * 8)  # garbage beyond the declared packet length
+    assert golden.decode_packet(bytes(enc)) == pkt
