@@ -1,0 +1,260 @@
+"""Pallas TPU decode kernel: batch-parallel adaptive arithmetic decoding.
+
+Mirror of ops/pallas_encode.py (reference: jiahansu/GPUAR
+src/gpuar_kernel.cu garDecompress :916-934 / arDecompress :848-892).  Same
+layouts: model C [256, TILE] with one-hot search/queries, packets in the
+big2d [groups, 8*TILE] word layout.  The per-lane data-dependent bit reads
+(readEncodedBits :787-836) become: an 8-word lookahead ring [8, TILE]
+(slots on sublanes, so ring word gathers are cheap sublane one-hots),
+refilled from big2d with one masked full-array gather pass whenever any
+lane's cursor approaches its window edge; per symbol the decoder consumes
+s = m + k replacement bits closed-form (derivation in ops/xla_codec.py).
+
+Decoded bytes accumulate into a little-endian word and are stored with a
+uniform masked row write every 4 symbols (dynamic VMEM stores are slow on
+this hardware; masked row selects are cheap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
+from gpuar_tpu.ops.pallas_encode import CHUNK_WORDS, out_geometry
+
+U16 = 0xFFFF
+
+
+def _clz16(x):
+    return jax.lax.clz(x) - 16
+
+
+def _shr_u(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
+                   tile, steps_per_chunk, n_chunks, out_groups):
+    t_chunk = pl.program_id(1)
+    i32 = jnp.int32
+    iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, tile), 0)
+    rows = jax.lax.broadcasted_iota(i32, (out_groups, 8 * tile), 0)
+    jrep8 = jax.lax.broadcasted_iota(i32, (1, 8 * tile), 1) // tile
+    rw = rows * 8 + jrep8
+    outrows = jax.lax.broadcasted_iota(
+        i32, (steps_per_chunk // 4, tile), 0
+    )
+    zeros = jnp.zeros((1, tile), i32)
+
+    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
+
+    def refill(rbase):
+        """Load words [rbase, rbase+8) of every lane into the ring.
+
+        One masked column-sum per ring slot j over the static lane slice
+        holding the j-th word of each group (avoids an unsupported
+        lanes->sublanes shape cast).
+        """
+        for j in range(8):
+            colj = in_ref[:, j * tile : (j + 1) * tile]   # word g*8+j
+            wj = grows * 8 + j
+            inr = (wj >= rbase) & (wj < rbase + 8)
+            ring[j : j + 1, :] = jnp.sum(
+                jnp.where(inr, colj, 0), axis=0, keepdims=True
+            )
+
+    @pl.when(t_chunk == 0)
+    def _init():
+        C[:] = jnp.broadcast_to(
+            jnp.arange(256, dtype=i32)[:, None], (256, tile)
+        )
+        refill(zeros)
+        # initializeDecoder (src/gpuar_kernel.cu:582-603): code = first 16
+        # stream bits; the stream starts after the 4-byte header (word 1).
+        w1 = jnp.sum(jnp.where(iota8 == 1, ring[:], 0), axis=0, keepdims=True)
+        st[0:1, :] = zeros            # lower
+        st[1:2, :] = zeros + U16      # upper
+        st[2:3, :] = _shr_u(w1, 16)   # code
+        st[3:4, :] = zeros + 48       # bitpos (word 0 skipped + 16 bits)
+        st[4:5, :] = zeros            # rbase (ring covers [rbase, rbase+8))
+
+    raw_sizes = sizes_ref[:]
+
+    def step(tt, carry):
+        lower, upper, code, bitpos, rbase, wacc = carry
+        t = t_chunk * steps_per_chunk + tt
+        active = t < raw_sizes
+        cum = 256 + t
+
+        # Symbol search (getUnscaledCode + getSymbolFromProbability,
+        # :703-763): count entries <= unscaled over the strictly
+        # increasing cumulative row.
+        span = upper - lower + 1
+        unscaled = ((code - lower + 1) * cum - 1) // span
+        cnt = jnp.sum(
+            (C[:] <= unscaled).astype(i32), axis=0, keepdims=True
+        ) - 1 + (unscaled >= cum)
+        sym = jnp.clip(cnt, 0, 255)
+        sym = jnp.where(active, sym, 0)
+
+        # applySymbolRange (:256-299).
+        low = jnp.sum(jnp.where(iota256 == sym, C[:], 0), axis=0, keepdims=True)
+        high = jnp.sum(
+            jnp.where(iota256 == sym + 1, C[:], 0), axis=0, keepdims=True
+        ) + jnp.where(sym == 255, cum, 0)
+        C[:] = C[:] + (active & (iota256 > sym)).astype(i32)
+
+        up2 = (lower + (high * span) // cum - 1) & U16
+        lo2 = (lower + (low * span) // cum) & U16
+
+        # Closed-form renormalisation; decode consumes s = m + k bits.
+        m = _clz16(lo2 ^ up2)
+        la = (lo2 << m) & U16
+        ua = ((up2 << m) | ((1 << m) - 1)) & U16
+        a = (la << 1) & U16
+        b = ((ua << 1) | 1) & U16
+        k = _clz16((~(a & ~b)) & U16)
+        lo3 = (la << k) & 0x7FFF
+        up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+        s = jnp.where(active, m + k, 0)
+
+        # Refill the lookahead ring if any lane nears its window edge.
+        widx = bitpos >> 5
+        need = jnp.any(widx + 1 >= rbase + 8)
+
+        @pl.when(need)
+        def _():
+            refill(widx)
+
+        rbase = jnp.where(need, widx, rbase)
+
+        # Read two window words via sublane one-hots, extract s bits.
+        sel0 = (iota8 == (widx & 7)).astype(i32)
+        sel1 = (iota8 == ((widx + 1) & 7)).astype(i32)
+        w0 = jnp.sum(ring[:] * sel0, axis=0, keepdims=True)
+        w1 = jnp.sum(ring[:] * sel1, axis=0, keepdims=True)
+        boff = bitpos & 31
+        win = (w0 << boff) | jnp.where(
+            boff > 0, _shr_u(w1, (32 - boff) & 31), 0
+        )
+        bits = jnp.where(s > 0, _shr_u(win, (32 - s) & 31), 0)
+        code2 = (((code << s) | bits) ^ jnp.where(k >= 1, 0x8000, 0)) & U16
+        bitpos = bitpos + s
+
+        # Emit the decoded byte; store a word every 4 symbols with a
+        # uniform masked row write.
+        wacc = wacc | (sym << ((tt & 3) * 8))
+
+        @pl.when(tt % 4 == 3)
+        def _():
+            out_ref[:] = jnp.where(outrows == (tt >> 2), wacc, out_ref[:])
+
+        wacc = jnp.where(tt % 4 == 3, 0, wacc)
+
+        lower = jnp.where(active, lo3, lower)
+        upper = jnp.where(active, up3, upper)
+        code = jnp.where(active, code2, code)
+        return lower, upper, code, bitpos, rbase, wacc
+
+    carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], st[4:5, :],
+             zeros)
+    carry = jax.lax.fori_loop(0, steps_per_chunk, step, carry)
+
+    @pl.when(t_chunk < n_chunks - 1)
+    def _save():
+        lower, upper, code, bitpos, rbase, _ = carry
+        st[0:1, :] = lower
+        st[1:2, :] = upper
+        st[2:3, :] = code
+        st[3:4, :] = bitpos
+        st[4:5, :] = rbase
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "packet_size", "out_groups", "interpret"),
+)
+def _decode_call(big, sizes, *, tile, packet_size, out_groups,
+                 interpret=False):
+    n_lanes = sizes.shape[1]
+    n_tiles = n_lanes // tile
+    p_words = packet_size // 4
+    n_chunks = max(p_words // CHUNK_WORDS, 1)
+    chunk_words = min(CHUNK_WORDS, p_words)
+    steps_per_chunk = chunk_words * 4
+
+    kernel = functools.partial(
+        _decode_kernel,
+        tile=tile,
+        steps_per_chunk=steps_per_chunk,
+        n_chunks=n_chunks,
+        out_groups=out_groups,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_groups, 8 * tile), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (p_words, n_lanes), jnp.int32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((256, tile), jnp.int32),
+            pltpu.VMEM((8, tile), jnp.int32),
+            pltpu.VMEM((8, tile), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sizes, big)
+
+
+def packets_to_big2d(packets: np.ndarray, tile: int, out_words: int):
+    """Fixed-stride packets [n, >=out_words*4] u8 -> big2d [groups, 8*n_pad]
+    i32 BE words (+ returns n_pad)."""
+    n = packets.shape[0]
+    n_pad = -(-max(n, 1) // tile) * tile
+    byts = np.zeros((n_pad, out_words * 4), np.uint8)
+    byts[:n, : packets.shape[1]] = packets[:, : out_words * 4]
+    words = byts.view(np.uint32).byteswap().view(np.int32)  # BE words
+    n_tiles = n_pad // tile
+    # [n_pad, out_words] -> [groups, tiles, 8, tile] -> [groups, 8*n_pad]
+    g = out_words // 8
+    arr = words.reshape(n_tiles, tile, g, 8).transpose(2, 0, 3, 1)
+    return np.ascontiguousarray(arr).reshape(g, 8 * n_pad), n_pad
+
+
+def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
+                        tile: int = 512,
+                        packet_size: int = UNCOMPRESSED_PACKET_SIZE,
+                        interpret: bool = False) -> np.ndarray:
+    """Decode fixed-stride packets -> padded raw [B, packet_size] u8."""
+    n = packets.shape[0]
+    out_groups, out_words = out_geometry(packet_size)
+    big, n_pad = packets_to_big2d(packets, tile, out_words)
+    sz = np.zeros((1, n_pad), np.int32)
+    sz[0, :n] = raw_sizes
+
+    out = _decode_call(
+        jnp.asarray(big), jnp.asarray(sz),
+        tile=tile, packet_size=packet_size, out_groups=out_groups,
+        interpret=interpret,
+    )
+    out = np.asarray(out)  # [p_words, n_pad] LE words
+    raw = np.ascontiguousarray(out.T).view(np.uint8)[:, : packet_size]
+    return raw[:n].copy()
