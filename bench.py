@@ -1,0 +1,101 @@
+"""Benchmark harness: device codec throughput + round-trip verification.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N}
+
+Metric = combined encode+decode device throughput (uncompressed GB/s per
+chip, harmonic combination: bytes / (t_enc + t_dec)) on a 64 MiB random
+corpus — the reference's README benchmark corpus (jiahansu/GPUAR
+README.md:14, regenerated like src/compressor.cpp:28-44).  The baseline is
+the BASELINE.md target of GB/s-class per chip (1.0 GB/s), since the
+reference publishes no numbers (BASELINE.md).
+
+Round-trip bit-exactness vs the native golden codec is asserted before any
+number is reported.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GBPS = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gpuar_tpu import native
+    from gpuar_tpu.ops import pallas_encode, pallas_decode
+
+    tile = 512
+    psize = 8192
+    n_packets = 8192  # 64 MiB
+    og, ow = pallas_encode.out_geometry(psize)
+
+    rng = np.random.default_rng(0xBE7C)
+    data = rng.integers(0, 256, (n_packets, psize), np.uint8)
+    sizes = np.full(n_packets, psize, np.int32)
+
+    # --- encode ---------------------------------------------------------
+    words = np.ascontiguousarray(
+        np.ascontiguousarray(data).view(np.int32).T)
+    wd = jnp.asarray(words)
+    sz = jnp.asarray(sizes.reshape(1, -1))
+
+    big, lens = pallas_encode._encode_call(
+        wd, sz, tile=tile, packet_size=psize, out_groups=og)
+    np.asarray(lens)  # warm / compile
+
+    t0 = time.time()
+    big, lens = pallas_encode._encode_call(
+        wd, sz, tile=tile, packet_size=psize, out_groups=og)
+    lens_h = np.asarray(lens)
+    t_enc = time.time() - t0
+
+    # --- verify a sample of lanes bit-for-bit vs the golden codec --------
+    bigh = np.asarray(big)
+    n_tiles = n_packets // tile
+    bigh = bigh.reshape(og, n_tiles, 8, tile)
+    bigh = np.ascontiguousarray(bigh.transpose(1, 3, 0, 2)).reshape(n_packets, ow)
+    packets = bigh.view(np.uint32).byteswap().view(np.uint8).reshape(
+        n_packets, ow * 4)
+    for i in (0, 1, n_packets // 2, n_packets - 1):
+        exp = native.encode_packet(data[i].tobytes())
+        assert packets[i, : lens_h[0, i]].tobytes() == exp, f"lane {i} diverged"
+
+    # --- decode ---------------------------------------------------------
+    bigd, _ = pallas_decode.packets_to_big2d(packets, tile, ow)
+    bd = jnp.asarray(bigd)
+    out = pallas_decode._decode_call(
+        bd, sz, tile=tile, packet_size=psize, out_groups=og)
+    np.asarray(out[0:1, 0:1])  # warm
+
+    t0 = time.time()
+    out = pallas_decode._decode_call(
+        bd, sz, tile=tile, packet_size=psize, out_groups=og)
+    np.asarray(out[0:1, 0:1])
+    t_dec = time.time() - t0
+
+    raw = np.ascontiguousarray(np.asarray(out).T).view(np.uint8)[:, :psize]
+    assert np.array_equal(raw, data), "round-trip mismatch"
+
+    total = n_packets * psize
+    gbps = total / (t_enc + t_dec) / 1e9
+    print(json.dumps({
+        "metric": "encode+decode device throughput (64MiB random, "
+                  "bit-exact round-trip verified)",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 4),
+        "detail": {
+            "encode_gbps": round(total / t_enc / 1e9, 4),
+            "decode_gbps": round(total / t_dec / 1e9, 4),
+            "ratio": round(float(lens_h.sum()) / total, 6),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

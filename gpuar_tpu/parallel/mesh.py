@@ -1,0 +1,161 @@
+"""Device-mesh sharding of the codec kernels.
+
+The reference is single-GPU (SURVEY.md §2.2.4); this module is the
+distributed component it lacks: a 1-D ``data`` mesh over all chips, with
+packet batches sharded along the lane axis via ``shard_map`` — each device
+runs the Pallas coder on its own packet shard (compression itself needs
+zero cross-chip communication; only the ordered splice of variable-length
+results does, and that is metadata-sized).
+
+Works identically on a real TPU slice and on the virtual CPU mesh used in
+tests (``--xla_force_host_platform_device_count``), where the kernels run
+through the Pallas interpreter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
+from gpuar_tpu.ops import pallas_decode, pallas_encode
+
+
+def enable_compilation_cache() -> None:
+    """Persist compiled executables across processes (first compile of the
+    coder kernels is tens of seconds; cached reloads are sub-second)."""
+    import os
+
+    path = os.path.expanduser(
+        os.environ.get("GPUAR_TPU_CACHE", "~/.cache/gpuar_tpu_jax")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimisation only
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
+    call = functools.partial(
+        pallas_encode._encode_call,
+        tile=tile, packet_size=packet_size, out_groups=out_groups,
+        interpret=interpret,
+    )
+    if mesh.devices.size == 1:  # no partitioning needed; compiles faster
+        return call
+    fn = jax.shard_map(
+        call, mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data")),
+        out_specs=(P(None, "data"), P(None, "data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _sharded_decode(mesh, tile, packet_size, out_groups, interpret):
+    call = functools.partial(
+        pallas_decode._decode_call,
+        tile=tile, packet_size=packet_size, out_groups=out_groups,
+        interpret=interpret,
+    )
+    if mesh.devices.size == 1:
+        return call
+    fn = jax.shard_map(
+        call, mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data")),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class MeshCodec:
+    """Sharded encode/decode over a 1-D device mesh.
+
+    Batches are padded to (devices × tile) lanes; callers slice real lanes.
+    """
+
+    def __init__(self, mesh: Mesh | None = None, tile: int = 512,
+                 packet_size: int = UNCOMPRESSED_PACKET_SIZE,
+                 interpret: bool | None = None):
+        self.mesh = mesh or make_mesh()
+        self.tile = tile
+        self.packet_size = packet_size
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        self.interpret = interpret
+        enable_compilation_cache()
+        self.out_groups, self.out_words = pallas_encode.out_geometry(packet_size)
+        self.n_devices = self.mesh.devices.size
+        self.lane_quantum = self.n_devices * tile
+        self._enc = _sharded_encode(
+            self.mesh, tile, packet_size, self.out_groups, interpret)
+        self._dec = _sharded_decode(
+            self.mesh, tile, packet_size, self.out_groups, interpret)
+
+    def _pad_lanes(self, n: int) -> int:
+        return -(-max(n, 1) // self.lane_quantum) * self.lane_quantum
+
+    # --- encode ----------------------------------------------------------
+    def encode_device(self, words, sizes):
+        """words [p_words, lanes] i32 (LE), sizes [1, lanes] -> device arrays
+        (big2d [groups, 8*lanes], lengths [1, lanes])."""
+        return self._enc(words, sizes)
+
+    def encode(self, data: np.ndarray, sizes: np.ndarray):
+        """Padded raw packets [n, packet_size] u8 -> (packets [n, stride] u8,
+        lengths [n])."""
+        n = data.shape[0]
+        n_pad = self._pad_lanes(n)
+        words = np.zeros((n_pad, self.packet_size // 4), np.int32)
+        words[:n] = np.ascontiguousarray(data).view(np.int32)
+        sz = np.zeros((1, n_pad), np.int32)
+        sz[0, :n] = sizes
+
+        big, lens = self.encode_device(
+            jnp.asarray(np.ascontiguousarray(words.T)), jnp.asarray(sz))
+        return self._postprocess_encode(np.asarray(big), np.asarray(lens), n)
+
+    def _postprocess_encode(self, big, lens, n):
+        n_pad = big.shape[1] // 8
+        n_tiles = n_pad // self.tile
+        big = big.reshape(self.out_groups, n_tiles, 8, self.tile)
+        big = np.ascontiguousarray(big.transpose(1, 3, 0, 2)).reshape(
+            n_pad, self.out_words)
+        packets = big.view(np.uint32).byteswap().view(np.uint8).reshape(
+            n_pad, self.out_words * 4)
+        return packets[:n], lens[0, :n]
+
+    # --- decode ----------------------------------------------------------
+    def decode_device(self, big, sizes):
+        return self._dec(big, sizes)
+
+    def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
+        n = packets.shape[0]
+        n_pad = self._pad_lanes(n)
+        big, _ = pallas_decode.packets_to_big2d(
+            _pad_rows(packets, n_pad), self.tile, self.out_words)
+        sz = np.zeros((1, n_pad), np.int32)
+        sz[0, :n] = raw_sizes
+        out = np.asarray(self.decode_device(jnp.asarray(big), jnp.asarray(sz)))
+        raw = np.ascontiguousarray(out.T).view(np.uint8)[:, : self.packet_size]
+        return raw[:n].copy()
+
+
+def _pad_rows(arr: np.ndarray, n_pad: int) -> np.ndarray:
+    if arr.shape[0] == n_pad:
+        return arr
+    out = np.zeros((n_pad,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out

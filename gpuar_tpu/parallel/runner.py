@@ -1,0 +1,53 @@
+"""TPUCompressor: the accelerator-backed file pipeline.
+
+Equivalent of the reference's GPUCompressor (src/gpu_compressor.cpp): reads
+super-batches of packets, codes them on the device mesh, splices results in
+order into the .gip container.  Super-batch sizing bounds host+device
+memory the way the reference sizes batches from the SM count (:77-79);
+JAX's async dispatch overlaps the device work of batch N with the host
+read/write of batch N±1, playing the role of the reference's rotating CUDA
+streams (:124-196).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from gpuar_tpu.pipeline import Compressor, DEFAULT_SUPER_BATCH_PACKETS
+from gpuar_tpu.parallel.mesh import MeshCodec, make_mesh
+
+
+class TPUCompressor(Compressor):
+    def __init__(self, device_index: int | None = None,
+                 super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
+                 tile: int = 512):
+        devices = jax.devices()
+        if not devices:
+            raise RuntimeError("no JAX devices")
+        if device_index is not None:
+            if device_index < 0 or device_index >= len(devices):
+                raise ValueError(f"no device {device_index}")
+            devices = [devices[device_index]]
+        self.codec = MeshCodec(make_mesh(devices), tile=tile)
+        # Round the super-batch to the mesh lane quantum.
+        q = self.codec.lane_quantum
+        super_batch_packets = max(q, super_batch_packets // q * q)
+        super().__init__(super_batch_packets=super_batch_packets)
+
+    def encode_batch(self, raw: np.ndarray):
+        psize = self.codec.packet_size
+        n = max(-(-raw.size // psize), 1) if raw.size else 0
+        if n == 0:
+            return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
+        data = np.zeros((n, psize), np.uint8)
+        flat = data.reshape(-1)
+        flat[: raw.size] = raw
+        sizes = np.full(n, psize, np.int32)
+        tail = raw.size - (n - 1) * psize
+        sizes[-1] = tail
+        return self.codec.encode(data, sizes)
+
+    def decode_batch(self, packets: np.ndarray, raw_sizes: np.ndarray):
+        return self.codec.decode(packets, raw_sizes)

@@ -3,7 +3,9 @@ import sys
 
 # Force JAX onto a virtual 8-device CPU mesh for all tests: multi-chip
 # sharding code is validated without TPU hardware (the standard JAX recipe).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon harness prepends its platform to JAX_PLATFORMS, so the env var
+# alone is not enough — override the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
