@@ -7,31 +7,33 @@ reference's thread-per-packet CUDA kernel (jiahansu/GPUAR
 src/gpuar_kernel.cu garCompress :894-914 / arCompress :487-531) — same
 bitstreams, completely different machine mapping (SURVEY.md §7.1).
 
-Layouts (chosen from measured Mosaic constraints — see
-benchmarks/probe_layouts.py):
+Layouts and design rules (from measured Mosaic behaviour — see
+benchmarks/probe_layouts.py and benchmarks/profile_encode.py):
 
   * model C [256, TILE] i32 in VMEM scratch: C[i, p] = cumulative count of
-    symbols < i in lane p (entry 256 is implicitly cumprob, which is the
-    uniform scalar 256 + t).  Range queries are one-hot masked column sums;
-    the adaptive update is a masked suffix increment.  Dynamic per-lane
-    gathers along sublanes are not available, one-hot sums are.
-  * input: raw packet bytes packed little-endian into u32 words, laid out
-    [words, lanes] in HBM; the grid's second dimension streams time-chunks
-    of CHUNK_WORDS rows through VMEM; uniform dynamic sublane row loads are
-    cheap.
+    symbols < i in lane p (entry 256 is implicitly cumprob = the uniform
+    scalar 256 + t).  Range queries are one-hot masked column sums; the
+    adaptive update is a masked suffix increment.
+  * input: raw bytes packed LE into u32 words, laid [words, lanes] in HBM;
+    the grid's second dimension streams CHUNK_WORDS-row time-chunks through
+    VMEM (uniform dynamic sublane row loads are cheap).
   * output big2d [groups, 8*TILE] i32: bitstream word w of lane l lives at
-    (w >> 3, (w & 7) * TILE + l), i.e. groups of 8 words on sublanes and a
-    word-in-group-major lane axis.  Per-lane scattered writes become one
-    full-array masked select per 8-word ring dump (dynamic stores are
-    ~16 us on this hardware; masked passes are ~2 us and amortised over
-    32 output bytes).
-  * bit emission per symbol is computed closed-form (see ops/xla_codec.py
-    for the renormalisation derivation) and appended into a per-lane
-    32-bit left-aligned accumulator; full words go through a 16-slot ring
-    (one-hot writes) that dumps to big2d when any lane has 8+ pending.
-    Underflow runs longer than one word take a rare @pl.when path that
-    flushes the ring and writes whole repeated-bit words with one masked
-    range pass — any run length in O(1) passes.
+    (w >> 3, (w & 7) * TILE + l).
+  * NO data-dependent scalar branches in the hot loop: a jnp.any()
+    condition costs ~1 us/step (vector->scalar sync).  Ring dumps run on a
+    fixed schedule (every 4 steps), and underflow runs are bounded
+    branchlessly: runs of up to 2 whole words write through the ring; the
+    astronomically-rare longer run (needs 97+ pending underflow bits)
+    raises a per-lane error flag and the host re-encodes that packet with
+    the native golden codec.  Output is bit-identical either way.
+  * emission: closed-form renormalisation (derivation in ops/xla_codec.py)
+    feeds a per-lane left-aligned 32-bit accumulator; full words go to a
+    [16, TILE] ring (slots on sublanes -> masked writes need no lane
+    repeats), drained 8 words per scheduled dump via per-column masked
+    passes.  Ring safety: flushes per 4-step window <= 8 (3 for a
+    max-drain step, which needs 3+ quiet build-up steps, plus run words),
+    so live span <= 16 distinct slots; a cheap pend>16 check feeds the
+    same error flag as a belt-and-braces guard.
 
 The packet header [u16 total][u16 raw] is word 0 (written at final flush),
 matching the container framing (src/gpuar_kernel.cu:527-528).
@@ -52,6 +54,7 @@ from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
 U16 = 0xFFFF
 RING = 16          # ring slots (words) per lane
 CHUNK_WORDS = 256  # input words per grid time-chunk (= 1024 symbols)
+MAX_RUN_WORDS = 2  # whole run words handled in-kernel; longer -> error flag
 
 
 def _clz16(x):
@@ -67,44 +70,21 @@ def _append(acc, nbuf, val, n):
     newn = nbuf + n
     over = jnp.maximum(newn - 32, 0)
     flushing = newn >= 32
-    # Word completed: old acc plus the top (n - over) bits of val.
     word = jnp.where(flushing, acc | (val >> over), 0)
-    # Remaining low `over` bits restart the accumulator, left-aligned.
     rem = val & ((1 << over) - 1)
-    acc_flush = rem << ((32 - over) & 31)
-    acc_keep = acc | (val << jnp.clip(32 - newn, 0, 31))
-    acc2 = jnp.where(flushing, acc_flush, acc_keep)
+    acc2 = jnp.where(flushing, rem << ((32 - over) & 31),
+                     acc | (val << jnp.clip(32 - newn, 0, 31)))
     nbuf2 = jnp.where(flushing, over, newn)
     return acc2, nbuf2, word, flushing
 
 
-def _ring_write(ring_ref, lane16, word, wcur, flushing, tile):
-    """One-hot write of `word` into ring slot wcur & 15 for flushing lanes."""
-    jrep = pltpu.repeat(jnp.where(flushing, wcur & (RING - 1), -1), RING, axis=1)
-    wrep = pltpu.repeat(word, RING, axis=1)
-    ring_ref[:] = jnp.where(lane16 == jrep, wrep, ring_ref[:])
-
-
-def _dump_range(out_ref, ring_ref, rw, lo, hi, tile):
-    """Copy ring words [lo, hi) (hi - lo <= 16, per-lane bounds) to big2d."""
-    lorep = pltpu.repeat(lo, 8, axis=1)
-    hirep = pltpu.repeat(hi, 8, axis=1)
-    inr = (rw >= lorep) & (rw < hirep)
-    # slot(w) = w & 15 = (g & 1) * 8 + j  ->  parity-select ring halves.
-    par = (rw >> 3) & 1
-    val = jnp.where(par == 0, ring_ref[:, : 8 * tile], ring_ref[:, 8 * tile :])
-    out_ref[:] = jnp.where(inr, val, out_ref[:])
-
-
-def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
+def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
                    ring, *, tile, steps_per_chunk, n_chunks, out_groups):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
-    lane16 = jax.lax.broadcasted_iota(i32, (1, RING * tile), 1) // tile
-    rows = jax.lax.broadcasted_iota(i32, (out_groups, 8 * tile), 0)
-    jrep8 = jax.lax.broadcasted_iota(i32, (1, 8 * tile), 1) // tile
-    rw = rows * 8 + jrep8
+    iota16 = jax.lax.broadcasted_iota(i32, (RING, tile), 0)
+    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
     zeros = jnp.zeros((1, tile), i32)
 
     @pl.when(t_chunk == 0)
@@ -119,17 +99,34 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
         st[4:5, :] = zeros            # nbuf
         st[5:6, :] = zeros + 1        # wcur: word 0 reserved for the header
         st[6:7, :] = zeros + 1        # wbase: first un-dumped ring word
+        st[7:8, :] = zeros            # err flag
 
     sizes = sizes_ref[:]
 
+    def ring_write(word, wcur, flushing):
+        """Masked one-hot write into ring slot wcur & 15 (sublane slots)."""
+        slot = jnp.where(flushing, wcur & (RING - 1), -1)
+        ring[:] = jnp.where(iota16 == slot, word, ring[:])
+
+    def dump(wbase, drained):
+        """Write ring words [wbase, drained) to big2d, one masked pass per
+        word-in-group column (no lane repeats needed)."""
+        for j in range(8):
+            wj = grows * 8 + j                      # word index of column j
+            inr = (wj >= wbase) & (wj < drained)
+            par = wj & 8                            # bit 3: slot j or j+8
+            val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
+            colj = out_ref[:, j * tile:(j + 1) * tile]
+            out_ref[:, j * tile:(j + 1) * tile] = jnp.where(inr, val, colj)
+
     def emit(state, b0, u_drain, pat, npat, has):
         """Emit [b0] + [~b0]*u_drain + pat(npat bits) for all lanes."""
-        acc, nbuf, wcur, wbase = state
+        acc, nbuf, wcur, err = state
         runbit = jnp.where(has, 1 - b0, 0)
 
         # P1: the first settled bit.
         acc, nbuf, w, f = _append(acc, nbuf, b0, has.astype(jnp.int32))
-        _ring_write(ring, lane16, w, wcur, f, tile)
+        ring_write(w, wcur, f)
         wcur = wcur + f
 
         # P2a: run bits up to the current word edge only, so that any
@@ -138,55 +135,36 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
         r1 = jnp.minimum(u_drain, (32 - nbuf) & 31)
         rv = jnp.where(runbit > 0, (1 << r1) - 1, 0)
         acc, nbuf, w, f = _append(acc, nbuf, rv, r1)
-        _ring_write(ring, lane16, w, wcur, f, tile)
+        ring_write(w, wcur, f)
         wcur = wcur + f
         left = u_drain - r1
 
-        # P2b (rare): whole words of repeated run bits, any count, via one
-        # masked range pass after draining the ring.
+        # P2b: whole words of repeated run bits straight through the ring
+        # (branchless, bounded; longer runs flag the lane for host
+        # re-encode — see module docstring).
         runw = left >> 5
-        rare = jnp.any(runw > 0)
-
-        @pl.when(rare)
-        def _():
-            _dump_range(out_ref, ring, rw, wbase, wcur, tile)
-            fill = jnp.where(runbit > 0, jnp.int32(-1), 0)
-            lorep = pltpu.repeat(wcur, 8, axis=1)
-            hirep = pltpu.repeat(wcur + runw, 8, axis=1)
-            inr = (rw >= lorep) & (rw < hirep)
-            out_ref[:] = jnp.where(inr, pltpu.repeat(fill, 8, axis=1), out_ref[:])
-
-        wcur = wcur + runw
-        wbase = jnp.where(rare, wcur, wbase)
+        fillw = jnp.where(runbit > 0, jnp.int32(-1), 0)
+        for i in range(MAX_RUN_WORDS):
+            f = runw > i
+            ring_write(fillw, wcur, f)
+            wcur = wcur + f
+        err = err | (runw > MAX_RUN_WORDS)
         left = left - (runw << 5)
 
         # P2c: run remainder (word-aligned when P2b fired, fits otherwise).
         rv = jnp.where(runbit > 0, (1 << left) - 1, 0)
         acc, nbuf, w, f = _append(acc, nbuf, rv, left)
-        _ring_write(ring, lane16, w, wcur, f, tile)
+        ring_write(w, wcur, f)
         wcur = wcur + f
 
         # P3: remaining pattern bits.
         acc, nbuf, w, f = _append(acc, nbuf, pat, npat)
-        _ring_write(ring, lane16, w, wcur, f, tile)
+        ring_write(w, wcur, f)
         wcur = wcur + f
-        return acc, nbuf, wcur, wbase
-
-    def maybe_dump(state):
-        acc, nbuf, wcur, wbase = state
-        pend = wcur - wbase
-        cond = jnp.any(pend >= 8)
-
-        @pl.when(cond)
-        def _():
-            drained = jnp.where(pend >= 8, wbase + 8, wbase)
-            _dump_range(out_ref, ring, rw, wbase, drained, tile)
-
-        wbase = jnp.where(pend >= 8, wbase + 8, wbase)
-        return acc, nbuf, wcur, wbase
+        return acc, nbuf, wcur, err
 
     def step(tt, carry):
-        lower, upper, under, acc, nbuf, wcur, wbase = carry
+        lower, upper, under, acc, nbuf, wcur, wbase, err = carry
         t = t_chunk * steps_per_chunk + tt
 
         w_in = in_ref[pl.ds(tt >> 2, 1), :]
@@ -225,20 +203,29 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
         pat = jnp.where(has, topm & ((1 << npat) - 1), 0)
         under2 = jnp.where(has, 0, under) + jnp.where(active, k, 0)
 
-        acc, nbuf, wcur, wbase = emit(
-            (acc, nbuf, wcur, wbase), b0, u_drain, pat, npat, has
-        )
+        acc, nbuf, wcur, err = emit((acc, nbuf, wcur, err),
+                                    b0, u_drain, pat, npat, has)
+
+        # Scheduled ring dump: fixed cadence, no data-dependent branching.
+        isdump = tt % 4 == 3
+        pend = wcur - wbase
+        drained = jnp.where(pend >= 8, wbase + 8, wbase)
+
+        @pl.when(isdump)
+        def _():
+            dump(wbase, drained)
+
+        err = err | (isdump & (pend > RING))
+        wbase = jnp.where(isdump, drained, wbase)
 
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
-
-        acc, nbuf, wcur, wbase = maybe_dump((acc, nbuf, wcur, wbase))
-        return (lower, upper, under2, acc, nbuf, wcur, wbase)
+        return (lower, upper, under2, acc, nbuf, wcur, wbase, err)
 
     carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], st[4:5, :],
-             st[5:6, :], st[6:7, :])
+             st[5:6, :], st[6:7, :], st[7:8, :])
     carry = jax.lax.fori_loop(0, steps_per_chunk, step, carry)
-    lower, upper, under, acc, nbuf, wcur, wbase = carry
+    lower, upper, under, acc, nbuf, wcur, wbase, err = carry
 
     @pl.when(t_chunk < n_chunks - 1)
     def _save():
@@ -249,6 +236,7 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
         st[4:5, :] = nbuf
         st[5:6, :] = wcur
         st[6:7, :] = wbase
+        st[7:8, :] = err
 
     @pl.when(t_chunk == n_chunks - 1)
     def _finish():
@@ -256,21 +244,25 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
         # writeRemaining (src/gpuar_kernel.cu:379-388): lower's second bit,
         # then underflow+1 complements — same emit machinery.
         tail = (lower >> 14) & 1
-        a2, n2, w2, b2 = emit(
-            (acc, nbuf, wcur, wbase), tail, under + 1,
-            jnp.zeros((1, tile), i32), jnp.zeros((1, tile), i32),
-            ones.astype(jnp.bool_),
-        )
-        # writeClose: left-aligned zero pad to a byte boundary.
+        a2, n2, w2, e2 = emit((acc, nbuf, wcur, err), tail, under + 1,
+                              zeros, zeros, ones.astype(jnp.bool_))
+        # Mid-stream dump if the tail emission overfilled the ring.
+        pend = w2 - wbase
+        base2 = jnp.where(pend > 8, wbase + 8, wbase)
+
+        @pl.when(jnp.any(pend > 8))
+        def _():
+            dump(wbase, base2)
+
+        # writeClose: left-aligned zero pad to a byte boundary, flush the
+        # final partial word, then drain everything left.
         n2 = (n2 + 7) & ~7
         body_bytes = (w2 - 1) * 4 + (n2 >> 3)
         total = body_bytes + 4
-
-        # Flush the final partial word, then dump everything left.
         f = n2 > 0
-        _ring_write(ring, lane16, a2, w2, f, tile)
+        ring_write(a2, w2, f)
         w3 = w2 + f
-        _dump_range(out_ref, ring, rw, b2, w3, tile)
+        dump(base2, w3)
 
         # Header word (bytes: total_lo, total_hi, raw_lo, raw_hi -> BE word).
         raw = sizes
@@ -278,6 +270,7 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, C, st,
               ((raw & 0xFF) << 8) | ((raw >> 8) & 0xFF)
         out_ref[0:1, 0:tile] = hdr
         len_ref[:] = total
+        err_ref[:] = e2
 
 
 @functools.partial(
@@ -314,15 +307,18 @@ def _encode_call(words, sizes, *, tile, packet_size, out_groups,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i, t: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((out_groups, 8 * n_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((256, tile), jnp.int32),
             pltpu.VMEM((8, tile), jnp.int32),
-            pltpu.VMEM((1, RING * tile), jnp.int32),
+            pltpu.VMEM((RING, tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -338,6 +334,26 @@ def out_geometry(packet_size: int) -> tuple[int, int]:
     cap_words = -(-(packet_size + 512 + 4) // 4)
     groups = -(-cap_words // 8)
     return groups, groups * 8
+
+
+def fixup_errors(packets: np.ndarray, lengths: np.ndarray, errs: np.ndarray,
+                 data: np.ndarray, sizes: np.ndarray) -> None:
+    """Re-encode flagged lanes with the native golden codec (in place).
+
+    Lanes flag when an underflow run exceeds MAX_RUN_WORDS whole words
+    (needs 97+ consecutive pending underflow bits — adversarial content) or
+    on the defensive ring-overflow check; output stays bit-identical
+    because both coders produce the same stream.
+    """
+    idx = np.nonzero(errs)[0]
+    if idx.size == 0:
+        return
+    from gpuar_tpu import native
+
+    for i in idx:
+        enc = native.encode_packet(data[i, : sizes[i]].tobytes())
+        packets[i, : len(enc)] = np.frombuffer(enc, np.uint8)
+        lengths[i] = len(enc)
 
 
 def encode_batch_pallas(data: np.ndarray, sizes: np.ndarray, *,
@@ -358,17 +374,20 @@ def encode_batch_pallas(data: np.ndarray, sizes: np.ndarray, *,
     sz = np.zeros((1, n_pad), np.int32)
     sz[0, :n] = sizes
 
-    big, lens = _encode_call(
+    big, lens, errs = _encode_call(
         jnp.asarray(np.ascontiguousarray(words.T)), jnp.asarray(sz),
         tile=tile, packet_size=packet_size, out_groups=out_groups,
         interpret=interpret,
     )
     big = np.asarray(big)      # [groups, 8 * n_pad], lane-major j*tile + l
-    lens = np.asarray(lens)[0, :n]
+    lens = np.asarray(lens)[0, :n].copy()
+    errs = np.asarray(errs)[0, :n]
 
     # [groups, tiles, 8, tile] -> [tiles, tile, groups, 8] -> bytes
     n_tiles = n_pad // tile
     big = big.reshape(out_groups, n_tiles, 8, tile)
     big = np.ascontiguousarray(big.transpose(1, 3, 0, 2)).reshape(n_pad, out_words)
     packets = big.view(np.uint32).byteswap().view(np.uint8)  # BE words
-    return packets.reshape(n_pad, out_words * 4)[:n], lens
+    packets = packets.reshape(n_pad, out_words * 4)[:n].copy()
+    fixup_errors(packets, lens, errs, data, sizes)
+    return packets, lens
