@@ -57,7 +57,7 @@ def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
     fn = jax.shard_map(
         call, mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data")),
-        out_specs=(P(None, "data"), P(None, "data")),
+        out_specs=(P(None, "data"), P(None, "data"), P(None, "data")),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -110,7 +110,7 @@ class MeshCodec:
     # --- encode ----------------------------------------------------------
     def encode_device(self, words, sizes):
         """words [p_words, lanes] i32 (LE), sizes [1, lanes] -> device arrays
-        (big2d [groups, 8*lanes], lengths [1, lanes])."""
+        (big2d [groups, 8*lanes], lengths [1, lanes], errs [1, lanes])."""
         return self._enc(words, sizes)
 
     def encode(self, data: np.ndarray, sizes: np.ndarray):
@@ -123,9 +123,14 @@ class MeshCodec:
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = sizes
 
-        big, lens = self.encode_device(
+        big, lens, errs = self.encode_device(
             jnp.asarray(np.ascontiguousarray(words.T)), jnp.asarray(sz))
-        return self._postprocess_encode(np.asarray(big), np.asarray(lens), n)
+        packets, lengths = self._postprocess_encode(
+            np.asarray(big), np.asarray(lens), n)
+        lengths = lengths.copy()
+        pallas_encode.fixup_errors(
+            packets, lengths, np.asarray(errs)[0, :n], data, sizes)
+        return packets, lengths
 
     def _postprocess_encode(self, big, lens, n):
         n_pad = big.shape[1] // 8
@@ -134,7 +139,7 @@ class MeshCodec:
         big = np.ascontiguousarray(big.transpose(1, 3, 0, 2)).reshape(
             n_pad, self.out_words)
         packets = big.view(np.uint32).byteswap().view(np.uint8).reshape(
-            n_pad, self.out_words * 4)
+            n_pad, self.out_words * 4).copy()
         return packets[:n], lens[0, :n]
 
     # --- decode ----------------------------------------------------------
