@@ -44,15 +44,16 @@ def main():
     wd = jnp.asarray(words)
     sz = jnp.asarray(sizes.reshape(1, -1))
 
-    big, lens = pallas_encode._encode_call(
+    big, lens, errs = pallas_encode._encode_call(
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(lens)  # warm / compile
 
     t0 = time.time()
-    big, lens = pallas_encode._encode_call(
+    big, lens, errs = pallas_encode._encode_call(
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     lens_h = np.asarray(lens)
     t_enc = time.time() - t0
+    assert not np.asarray(errs).any(), "encode error lanes on random corpus"
 
     # --- verify a sample of lanes bit-for-bit vs the golden codec --------
     bigh = np.asarray(big)
