@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
-from gpuar_tpu.ops.pallas_encode import CHUNK_WORDS, out_geometry
+from gpuar_tpu.ops.pallas_encode import CHUNK_WORDS, _exact_div, out_geometry
 
 U16 = 0xFFFF
 
@@ -94,25 +94,30 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         cum = 256 + t
 
         # Symbol search (getUnscaledCode + getSymbolFromProbability,
-        # :703-763): count entries <= unscaled over the strictly
-        # increasing cumulative row.
+        # :703-763) fused with the range query: C is strictly increasing,
+        # so over the single pass that counts entries <= unscaled,
+        # low = C[sym] = max{C[i] <= unscaled} and
+        # high = C[sym+1] = min{C[i] > unscaled} come for free.
         span = upper - lower + 1
-        unscaled = ((code - lower + 1) * cum - 1) // span
-        cnt = jnp.sum(
-            (C[:] <= unscaled).astype(i32), axis=0, keepdims=True
-        ) - 1 + (unscaled >= cum)
+        cum_s = jnp.int32(cum)
+        unscaled = _exact_div((code - lower + 1) * cum - 1, span)
+        le = C[:] <= unscaled
+        cnt = jnp.sum(le.astype(i32), axis=0, keepdims=True) \
+            - 1 + (unscaled >= cum)
+        low = jnp.max(jnp.where(le, C[:], 0), axis=0, keepdims=True)
+        high = jnp.min(jnp.where(le, 0x7FFFFFFF, C[:]), axis=0, keepdims=True)
+        high = jnp.minimum(high, cum)  # sym == 255: C[256] is implicit cum
         sym = jnp.clip(cnt, 0, 255)
         sym = jnp.where(active, sym, 0)
+        # low <= high <= cum holds for every lane (active or stale), so the
+        # downstream range math cannot overflow; inactive lanes are masked
+        # out of the carried state below.
 
-        # applySymbolRange (:256-299).
-        low = jnp.sum(jnp.where(iota256 == sym, C[:], 0), axis=0, keepdims=True)
-        high = jnp.sum(
-            jnp.where(iota256 == sym + 1, C[:], 0), axis=0, keepdims=True
-        ) + jnp.where(sym == 255, cum, 0)
+        # Adaptive update (applySymbolRange tail, :286-288).
         C[:] = C[:] + (active & (iota256 > sym)).astype(i32)
 
-        up2 = (lower + (high * span) // cum - 1) & U16
-        lo2 = (lower + (low * span) // cum) & U16
+        up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
+        lo2 = (lower + _exact_div(low * span, cum_s)) & U16
 
         # Closed-form renormalisation; decode consumes s = m + k bits.
         m = _clz16(lo2 ^ up2)

@@ -61,6 +61,20 @@ def _clz16(x):
     return jax.lax.clz(x) - 16
 
 
+def _exact_div(x, d):
+    """floor(x / d) for 0 <= x < 2**31, 1 <= d < 2**17, exactly.
+
+    Integer division has no fast VPU lowering; an f32 reciprocal multiply
+    is off by at most 1 (|error| < 0.05 ulp-wise: x->f32 rounding combined
+    with the reciprocal and product roundings stays well under one), so a
+    single compare-and-adjust pass restores the exact floor.
+    """
+    f32 = jnp.float32
+    q0 = (x.astype(f32) * (jnp.float32(1.0) / d.astype(f32))).astype(jnp.int32)
+    r = x - q0 * d
+    return q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
 def _append(acc, nbuf, val, n):
     """Append n (<=31) bits of val into the left-aligned 32-bit accumulator.
 
@@ -181,8 +195,9 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         C[:] = C[:] + (active & (iota256 > sym)).astype(i32)
 
         span = upper - lower + 1
-        up2 = (lower + (high * span) // cum - 1) & U16
-        lo2 = (lower + (low * span) // cum) & U16
+        cum_s = jnp.int32(cum)
+        up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
+        lo2 = (lower + _exact_div(low * span, cum_s)) & U16
 
         # Closed-form renormalisation (derivation: ops/xla_codec.py).
         m = _clz16(lo2 ^ up2)
