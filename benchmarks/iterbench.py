@@ -46,6 +46,8 @@ def main():
             lens_h = np.asarray(lens)
             ts.append(time.time() - t0)
         t_enc = min(ts)
+        print(f"encode: {t_enc*1e3:8.2f} ms  {total/t_enc/1e9:7.3f} GB/s  "
+              f"({t_enc*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
         assert not np.asarray(errs).any()
         bigh = np.asarray(big)
         n_tiles = n_packets // tile
@@ -58,8 +60,6 @@ def main():
             exp = native.encode_packet(data[i].tobytes())
             assert packets[i, : lens_h[0, i]].tobytes() == exp, \
                 f"lane {i} diverged"
-        print(f"encode: {t_enc*1e3:8.2f} ms  {total/t_enc/1e9:7.3f} GB/s  "
-              f"({t_enc*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
 
     if which in ("dec", "both"):
         if packets is None:
@@ -82,11 +82,11 @@ def main():
             np.asarray(out[0:1, 0:1])  # sync on the kernel, not the transfer
             ts.append(time.time() - t0)
         t_dec = min(ts)
+        print(f"decode: {t_dec*1e3:8.2f} ms  {total/t_dec/1e9:7.3f} GB/s  "
+              f"({t_dec*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
         outh = np.asarray(out)
         raw = np.ascontiguousarray(outh.T).view(np.uint8)[:, :psize]
         assert np.array_equal(raw, data), "round-trip mismatch"
-        print(f"decode: {t_dec*1e3:8.2f} ms  {total/t_dec/1e9:7.3f} GB/s  "
-              f"({t_dec*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
 
 
 if __name__ == "__main__":

@@ -3,16 +3,25 @@
 Mirror of ops/pallas_encode.py (reference: jiahansu/GPUAR
 src/gpuar_kernel.cu garDecompress :916-934 / arDecompress :848-892).  Same
 layouts: model C [256, TILE] with one-hot search/queries, packets in the
-big2d [groups, 8*TILE] word layout.  The per-lane data-dependent bit reads
-(readEncodedBits :787-836) become: an 8-word lookahead ring [8, TILE]
-(slots on sublanes, so ring word gathers are cheap sublane one-hots),
-refilled from big2d with one masked full-array gather pass whenever any
-lane's cursor approaches its window edge; per symbol the decoder consumes
-s = m + k replacement bits closed-form (derivation in ops/xla_codec.py).
+big2d [groups, 8*TILE] word layout.
 
-Decoded bytes accumulate into a little-endian word and are stored with a
-uniform masked row write every 4 symbols (dynamic VMEM stores are slow on
-this hardware; masked row selects are cheap).
+Measured design rules (benchmarks/probe_model.py, iterbench.py):
+
+  * the scalar loop costs ~470 ns/iteration regardless of body, so
+    UNROLL_WORDS words are decoded per iteration;
+  * the per-lane bit cursor advances at most 16 bits/symbol, so an 8-word
+    lookahead ring refilled every 2 words (8 symbols) is always safe —
+    no data-dependent refill condition (a jnp.any() sync) is needed:
+    after a refill at cursor word w the next 8 symbols consume <= 4
+    words, keeping [cursor, cursor+1] inside [w, w+8);
+  * the refill gather normally scans only a WIN-row window around the
+    scalar hull of the per-lane cursors (computed once per chunk);
+    divergent batches fall back to the full-range scan;
+  * the decoded-byte store row is uniform per word, so a dynamic
+    single-row store replaces a masked full-column pass;
+  * the symbol search is fused with the range query: C is strictly
+    increasing, so one pass yields cnt (the symbol), low = max{C <=
+    unscaled} and high = min{C > unscaled}.
 """
 
 from __future__ import annotations
@@ -29,6 +38,10 @@ from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
 from gpuar_tpu.ops.pallas_encode import CHUNK_WORDS, _exact_div, out_geometry
 
 U16 = 0xFFFF
+UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (refill cadence)
+# Ring-coverage bound: one refill serves unroll*4 symbols consuming at most
+# unroll*2 words, and [cursor, cursor+1] must stay inside the 8-word ring.
+assert UNROLL_WORDS * 2 + 1 < 8
 
 
 def _clz16(x):
@@ -40,33 +53,22 @@ def _shr_u(x, n):
 
 
 def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
-                   tile, steps_per_chunk, n_chunks, out_groups):
+                   tile, steps_per_chunk, n_chunks, out_groups, unroll):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, tile), 0)
-    rows = jax.lax.broadcasted_iota(i32, (out_groups, 8 * tile), 0)
-    jrep8 = jax.lax.broadcasted_iota(i32, (1, 8 * tile), 1) // tile
-    rw = rows * 8 + jrep8
-    outrows = jax.lax.broadcasted_iota(
-        i32, (steps_per_chunk // 4, tile), 0
-    )
+    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
     zeros = jnp.zeros((1, tile), i32)
 
-    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
-
-    def refill(rbase):
-        """Load words [rbase, rbase+8) of every lane into the ring.
-
-        One masked column-sum per ring slot j over the static lane slice
-        holding the j-th word of each group (avoids an unsupported
-        lanes->sublanes shape cast).
-        """
+    def refill_full(rb):
+        """Load per-lane words [rb, rb+8) into the ring (slot = word & 7):
+        one masked column-sum per slot over the full group range."""
         for j in range(8):
-            colj = in_ref[:, j * tile : (j + 1) * tile]   # word g*8+j
+            colj = in_ref[:, j * tile: (j + 1) * tile]   # word g*8+j
             wj = grows * 8 + j
-            inr = (wj >= rbase) & (wj < rbase + 8)
-            ring[j : j + 1, :] = jnp.sum(
+            inr = (wj >= rb) & (wj < rb + 8)
+            ring[j: j + 1, :] = jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
             )
 
@@ -75,7 +77,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         C[:] = jnp.broadcast_to(
             jnp.arange(256, dtype=i32)[:, None], (256, tile)
         )
-        refill(zeros)
+        refill_full(zeros)
         # initializeDecoder (src/gpuar_kernel.cu:582-603): code = first 16
         # stream bits; the stream starts after the 4-byte header (word 1).
         w1 = jnp.sum(jnp.where(iota8 == 1, ring[:], 0), axis=0, keepdims=True)
@@ -83,13 +85,42 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         st[1:2, :] = zeros + U16      # upper
         st[2:3, :] = _shr_u(w1, 16)   # code
         st[3:4, :] = zeros + 48       # bitpos (word 0 skipped + 16 bits)
-        st[4:5, :] = zeros            # rbase (ring covers [rbase, rbase+8))
 
     raw_sizes = sizes_ref[:]
 
-    def step(tt, carry):
-        lower, upper, code, bitpos, rbase, wacc = carry
-        t = t_chunk * steps_per_chunk + tt
+    # Windowed refill (see encode's windowed dump): scalar hull of the
+    # per-lane cursor rows, taken once per chunk; a chunk consumes <= 16
+    # bits/symbol -> <= 64 rows, +2 rows of ring lookahead.
+    WIN = min(96, out_groups)
+    wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
+    alive0 = (t_chunk * steps_per_chunk) < raw_sizes
+    rows0 = st[3:4, :] >> 8          # bitpos -> word -> group row
+    klo = jnp.min(jnp.where(alive0, rows0, jnp.int32(1 << 20)))
+    khi = jnp.max(jnp.where(alive0, rows0, jnp.int32(0)))
+    klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
+    klo = pl.multiple_of(klo, 8)
+    fast = (khi + 67) <= (klo + WIN)
+
+    def refill_win(rb):
+        for j in range(8):
+            colj = in_ref[pl.ds(klo, WIN), j * tile: (j + 1) * tile]
+            wj = (klo + wrows) * 8 + j
+            inr = (wj >= rb) & (wj < rb + 8)
+            ring[j: j + 1, :] = jnp.sum(
+                jnp.where(inr, colj, 0), axis=0, keepdims=True
+            )
+
+    def refill(rb):
+        @pl.when(fast)
+        def _():
+            refill_win(rb)
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            refill_full(rb)
+
+    def sym_step(t, carry):
+        lower, upper, code, bitpos, wacc = carry
         active = t < raw_sizes
         cum = 256 + t
 
@@ -130,17 +161,8 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
         s = jnp.where(active, m + k, 0)
 
-        # Refill the lookahead ring if any lane nears its window edge.
-        widx = bitpos >> 5
-        need = jnp.any(widx + 1 >= rbase + 8)
-
-        @pl.when(need)
-        def _():
-            refill(widx)
-
-        rbase = jnp.where(need, widx, rbase)
-
         # Read two window words via sublane one-hots, extract s bits.
+        widx = bitpos >> 5
         sel0 = (iota8 == (widx & 7)).astype(i32)
         sel1 = (iota8 == ((widx + 1) & 7)).astype(i32)
         w0 = jnp.sum(ring[:] * sel0, axis=0, keepdims=True)
@@ -153,33 +175,38 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         code2 = (((code << s) | bits) ^ jnp.where(k >= 1, 0x8000, 0)) & U16
         bitpos = bitpos + s
 
-        # Emit the decoded byte; store a word every 4 symbols with a
-        # uniform masked row write.
-        wacc = wacc | (sym << ((tt & 3) * 8))
-
-        @pl.when(tt % 4 == 3)
-        def _():
-            out_ref[:] = jnp.where(outrows == (tt >> 2), wacc, out_ref[:])
-
-        wacc = jnp.where(tt % 4 == 3, 0, wacc)
-
+        wacc = wacc | (sym << ((t & 3) * 8))
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         code = jnp.where(active, code2, code)
-        return lower, upper, code, bitpos, rbase, wacc
+        return (lower, upper, code, bitpos, wacc)
 
-    carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], st[4:5, :],
-             zeros)
-    carry = jax.lax.fori_loop(0, steps_per_chunk, step, carry)
+    def step(it, carry):
+        lower, upper, code, bitpos, _ = carry
+        # Fixed-cadence refill: [cursor, cursor+8) covers the next
+        # UNROLL_WORDS * 4 symbols (<= 16 bits each).
+        refill(bitpos >> 5)
+        for wi in range(unroll):
+            wt = it * unroll + wi
+            carry = (carry[0], carry[1], carry[2], carry[3], zeros)
+            for j in range(4):
+                t = t_chunk * steps_per_chunk + wt * 4 + j
+                carry = sym_step(t, carry)
+            # The store row is uniform across lanes: plain dynamic store.
+            out_ref[pl.ds(wt, 1), :] = carry[4]
+        return carry
+
+    carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], zeros)
+    carry = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
+                              step, carry)
 
     @pl.when(t_chunk < n_chunks - 1)
     def _save():
-        lower, upper, code, bitpos, rbase, _ = carry
+        lower, upper, code, bitpos, _ = carry
         st[0:1, :] = lower
         st[1:2, :] = upper
         st[2:3, :] = code
         st[3:4, :] = bitpos
-        st[4:5, :] = rbase
 
 
 @functools.partial(
@@ -201,6 +228,9 @@ def _decode_call(big, sizes, *, tile, packet_size, out_groups,
         steps_per_chunk=steps_per_chunk,
         n_chunks=n_chunks,
         out_groups=out_groups,
+        # The interpreter pays XLA-CPU compile time proportional to the
+        # unrolled body; only the compiled TPU path wants the unroll.
+        unroll=1 if interpret else UNROLL_WORDS,
     )
     return pl.pallas_call(
         kernel,

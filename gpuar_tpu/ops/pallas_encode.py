@@ -55,6 +55,7 @@ U16 = 0xFFFF
 RING = 16          # ring slots (words) per lane
 CHUNK_WORDS = 256  # input words per grid time-chunk (= 1024 symbols)
 MAX_RUN_WORDS = 2  # whole run words handled in-kernel; longer -> error flag
+UNROLL_WORDS = 8   # input words coded per scalar-loop iteration
 
 
 def _clz16(x):
@@ -93,7 +94,7 @@ def _append(acc, nbuf, val, n):
 
 
 def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
-                   ring, *, tile, steps_per_chunk, n_chunks, out_groups):
+                   ring, *, tile, steps_per_chunk, n_chunks, out_groups, unroll):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
@@ -132,6 +133,45 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
             val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
             colj = out_ref[:, j * tile:(j + 1) * tile]
             out_ref[:, j * tile:(j + 1) * tile] = jnp.where(inr, val, colj)
+
+    # Windowed dump: the masked dump pass is the kernel's single biggest
+    # cost when it scans all out_groups rows (measured +240 ns/symbol).
+    # Lanes' write fronts cluster tightly on real data, so once per chunk
+    # the scalar [klo, khi] hull of the per-lane fronts is taken and, when
+    # the hull plus this chunk's worst-case growth (a lane emits <= 16
+    # bits/symbol -> <= 66 rows/chunk) fits a WIN-row window, every dump of
+    # the chunk scans only that window.  Divergent batches fall back to the
+    # full-range scan — identical output either way.
+    WIN = min(96, out_groups)
+    wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
+    wb0 = st[6:7, :]
+    alive0 = (t_chunk * steps_per_chunk) < sizes
+    include = alive0 | ((st[5:6, :] - wb0) >= 8)
+    klo = (jnp.min(jnp.where(include, wb0, jnp.int32(1 << 20))) - 1) >> 3
+    khi = (jnp.max(jnp.where(include, wb0, jnp.int32(1))) - 1) >> 3
+    # The dynamic sublane start must be 8-aligned (i32 sublane tiling).
+    klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
+    klo = pl.multiple_of(klo, 8)
+    fast = (khi + 67) <= (klo + WIN)
+
+    def dump_win(wbase, drained):
+        for j in range(8):
+            wj = (klo + wrows) * 8 + j
+            inr = (wj >= wbase) & (wj < drained)
+            par = wj & 8
+            val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
+            colj = out_ref[pl.ds(klo, WIN), j * tile:(j + 1) * tile]
+            out_ref[pl.ds(klo, WIN), j * tile:(j + 1) * tile] = \
+                jnp.where(inr, val, colj)
+
+    def dump_sched(wbase, drained):
+        @pl.when(fast)
+        def _():
+            dump_win(wbase, drained)
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            dump(wbase, drained)
 
     def emit(state, b0, u_drain, pat, npat, has):
         """Emit [b0] + [~b0]*u_drain + pat(npat bits) for all lanes."""
@@ -177,14 +217,8 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         wcur = wcur + f
         return acc, nbuf, wcur, err
 
-    def step(tt, carry):
+    def sym_step(t, sym, active, carry):
         lower, upper, under, acc, nbuf, wcur, wbase, err = carry
-        t = t_chunk * steps_per_chunk + tt
-
-        w_in = in_ref[pl.ds(tt >> 2, 1), :]
-        sym = (w_in >> ((tt & 3) * 8)) & 0xFF
-        active = t < sizes
-        sym = jnp.where(active, sym, 0)
 
         # Model query + update (applySymbolRange, src/gpuar_kernel.cu:256).
         cum = 256 + t  # uniform: every active lane has coded t symbols
@@ -221,25 +255,37 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         acc, nbuf, wcur, err = emit((acc, nbuf, wcur, err),
                                     b0, u_drain, pat, npat, has)
 
-        # Scheduled ring dump: fixed cadence, no data-dependent branching.
-        isdump = tt % 4 == 3
-        pend = wcur - wbase
-        drained = jnp.where(pend >= 8, wbase + 8, wbase)
-
-        @pl.when(isdump)
-        def _():
-            dump(wbase, drained)
-
-        err = err | (isdump & (pend > RING))
-        wbase = jnp.where(isdump, drained, wbase)
-
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         return (lower, upper, under2, acc, nbuf, wcur, wbase, err)
 
+    def step(it, carry):
+        """UNROLL_WORDS words (4 symbols each) per scalar-loop iteration:
+        the loop carries a measured ~470 ns/iteration fixed cost
+        (benchmarks/probe_model.py), so the serial coder is unrolled to
+        amortise it.  The ring dump keeps its every-4-symbols cadence
+        (same <= 16-slot live-span bound)."""
+        for wi in range(unroll):
+            wt = it * unroll + wi
+            w_in = in_ref[pl.ds(wt, 1), :]
+            for j in range(4):
+                t = t_chunk * steps_per_chunk + wt * 4 + j
+                active = t < sizes
+                sym = jnp.where(active, (w_in >> (j * 8)) & 0xFF, 0)
+                carry = sym_step(t, sym, active, carry)
+
+            lower, upper, under, acc, nbuf, wcur, wbase, err = carry
+            pend = wcur - wbase
+            drained = jnp.where(pend >= 8, wbase + 8, wbase)
+            dump_sched(wbase, drained)
+            err = err | (pend > RING)
+            carry = (lower, upper, under, acc, nbuf, wcur, drained, err)
+        return carry
+
     carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], st[4:5, :],
              st[5:6, :], st[6:7, :], st[7:8, :])
-    carry = jax.lax.fori_loop(0, steps_per_chunk, step, carry)
+    carry = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
+                              step, carry)
     lower, upper, under, acc, nbuf, wcur, wbase, err = carry
 
     @pl.when(t_chunk < n_chunks - 1)
@@ -306,6 +352,9 @@ def _encode_call(words, sizes, *, tile, packet_size, out_groups,
         steps_per_chunk=steps_per_chunk,
         n_chunks=n_chunks,
         out_groups=out_groups,
+        # The interpreter pays XLA-CPU compile time proportional to the
+        # unrolled body; only the compiled TPU path wants the unroll.
+        unroll=1 if interpret else UNROLL_WORDS,
     )
     grid = (n_tiles, n_chunks)
     return pl.pallas_call(
