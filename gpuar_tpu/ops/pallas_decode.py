@@ -42,6 +42,9 @@ UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (refill cadence)
 # Ring-coverage bound: one refill serves unroll*4 symbols consuming at most
 # unroll*2 words, and [cursor, cursor+1] must stay inside the 8-word ring.
 assert UNROLL_WORDS * 2 + 1 < 8
+# The word loop runs (chunk_words / unroll) iterations; a non-divisor would
+# silently drop the tail words of every chunk.
+assert CHUNK_WORDS % UNROLL_WORDS == 0
 
 
 def _clz16(x):
@@ -220,6 +223,7 @@ def _decode_call(big, sizes, *, tile, packet_size, out_groups,
     p_words = packet_size // 4
     n_chunks = max(p_words // CHUNK_WORDS, 1)
     chunk_words = min(CHUNK_WORDS, p_words)
+    assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
 
     kernel = functools.partial(

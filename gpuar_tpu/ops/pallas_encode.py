@@ -56,6 +56,9 @@ RING = 16          # ring slots (words) per lane
 CHUNK_WORDS = 256  # input words per grid time-chunk (= 1024 symbols)
 MAX_RUN_WORDS = 2  # whole run words handled in-kernel; longer -> error flag
 UNROLL_WORDS = 8   # input words coded per scalar-loop iteration
+# The word loop runs (chunk_words / unroll) iterations; a non-divisor would
+# silently drop the tail words of every chunk.
+assert CHUNK_WORDS % UNROLL_WORDS == 0
 
 
 def _clz16(x):
@@ -344,6 +347,7 @@ def _encode_call(words, sizes, *, tile, packet_size, out_groups,
     p_words = packet_size // 4
     n_chunks = max(p_words // CHUNK_WORDS, 1)
     chunk_words = min(CHUNK_WORDS, p_words)
+    assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
 
     kernel = functools.partial(
