@@ -29,7 +29,7 @@ def main():
     from gpuar_tpu import native
     from gpuar_tpu.ops import pallas_encode, pallas_decode
 
-    tile = 512
+    tile = 1024
     psize = 8192
     n_packets = 8192  # 64 MiB
     og, ow = pallas_encode.out_geometry(psize)

@@ -279,7 +279,7 @@ def packets_to_big2d(packets: np.ndarray, tile: int, out_words: int):
 
 
 def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
-                        tile: int = 512,
+                        tile: int = 1024,
                         packet_size: int = UNCOMPRESSED_PACKET_SIZE,
                         interpret: bool = False) -> np.ndarray:
     """Decode fixed-stride packets -> padded raw [B, packet_size] u8."""

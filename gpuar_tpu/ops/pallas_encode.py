@@ -425,7 +425,7 @@ def fixup_errors(packets: np.ndarray, lengths: np.ndarray, errs: np.ndarray,
 
 
 def encode_batch_pallas(data: np.ndarray, sizes: np.ndarray, *,
-                        tile: int = 512,
+                        tile: int = 1024,
                         packet_size: int = UNCOMPRESSED_PACKET_SIZE,
                         interpret: bool = False):
     """Encode padded raw packets [B, packet_size] u8 (true lengths `sizes`)

@@ -86,7 +86,7 @@ class MeshCodec:
     Batches are padded to (devices × tile) lanes; callers slice real lanes.
     """
 
-    def __init__(self, mesh: Mesh | None = None, tile: int = 512,
+    def __init__(self, mesh: Mesh | None = None, tile: int = 1024,
                  packet_size: int = UNCOMPRESSED_PACKET_SIZE,
                  interpret: bool | None = None):
         self.mesh = mesh or make_mesh()

@@ -22,7 +22,7 @@ from gpuar_tpu.parallel.mesh import MeshCodec, make_mesh
 class TPUCompressor(Compressor):
     def __init__(self, device_index: int | None = None,
                  super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
-                 tile: int = 512):
+                 tile: int = 1024):
         devices = jax.devices()
         if not devices:
             raise RuntimeError("no JAX devices")
