@@ -38,7 +38,7 @@ def make(variant):
         iota256 = jax.lax.broadcasted_iota(i32, (256, TILE), 0)
         iota128 = jax.lax.broadcasted_iota(i32, (128, TILE), 0)
         C[:] = jnp.broadcast_to(
-            jnp.arange(C.shape[0], dtype=i32)[:, None], C.shape)
+            jnp.arange(C.shape[0], dtype=C.dtype)[:, None], C.shape)
 
         def step(t, carry):
             sym = (in_ref[pl.ds(t >> 2, 1), :] >> ((t & 3) * 8)) & 0xFF
@@ -142,6 +142,28 @@ def make(variant):
                         upd = upd + (iota256 > sj).astype(i32)
                     chk = chk + low + high
                 C[:] = C[:] + upd
+            elif variant == "v30_i16_reduce":
+                sym16 = sym.astype(jnp.int16)
+                low = jnp.sum(
+                    jnp.where(iota256.astype(jnp.int16) == sym16, C[:], 0),
+                    axis=0, keepdims=True)
+                chk = chk + low.astype(i32)
+            elif variant == "v31_i16_3pass":
+                sym16 = sym.astype(jnp.int16)
+                i16iota = iota256.astype(jnp.int16)
+                low = jnp.sum(jnp.where(i16iota == sym16, C[:], 0), axis=0,
+                              keepdims=True)
+                high = jnp.sum(jnp.where(i16iota == sym16 + 1, C[:], 0),
+                               axis=0, keepdims=True)
+                C[:] = C[:] + (i16iota > sym16).astype(jnp.int16)
+                chk = chk + low.astype(i32) + high.astype(i32)
+            elif variant == "v32_i16_mixed":
+                low = jnp.sum(jnp.where(iota256 == sym, C[:], 0), axis=0,
+                              keepdims=True)
+                high = jnp.sum(jnp.where(iota256 == sym + 1, C[:], 0),
+                               axis=0, keepdims=True)
+                C[:] = C[:] + (iota256 > sym).astype(jnp.int16)
+                chk = chk + low.astype(i32) + high.astype(i32)
             elif variant == "v9_noop":
                 chk = chk + sym
             return chk
@@ -153,11 +175,12 @@ def make(variant):
             0, REPEAT, rep, jnp.zeros((1, TILE), i32))
 
     rows = 128 if ("paired" in variant or "128" in variant) else 256
-    return kernel, rows
+    dtype = jnp.int16 if "i16" in variant else jnp.int32
+    return kernel, rows, dtype
 
 
 def run(variant):
-    kernel, rows = make(variant)
+    kernel, rows, dtype = make(variant)
     rng = np.random.default_rng(0)
     words = jnp.asarray(rng.integers(0, 1 << 31, (STEPS // 4, TILE), np.int64)
                         .astype(np.int32))
@@ -166,7 +189,7 @@ def run(variant):
         out_shape=jax.ShapeDtypeStruct((1, TILE), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((rows, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, TILE), dtype)],
     )(w))
     np.asarray(f(words))
     ts = []

@@ -147,8 +147,11 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         # downstream range math cannot overflow; inactive lanes are masked
         # out of the carried state below.
 
-        # Adaptive update (applySymbolRange tail, :286-288).
-        C[:] = C[:] + (active & (iota256 > sym)).astype(i32)
+        # Adaptive update (applySymbolRange tail, :286-288): i > sym is
+        # exactly "not le" (C strictly increasing), so the search mask is
+        # reused and inactive lanes gate via a row-level increment.
+        inc = active.astype(i32)
+        C[:] = C[:] + jnp.where(le, 0, inc)
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16

@@ -229,7 +229,10 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         high = jnp.sum(
             jnp.where(iota256 == sym + 1, C[:], 0), axis=0, keepdims=True
         ) + jnp.where(sym == 255, cum, 0)
-        C[:] = C[:] + (active & (iota256 > sym)).astype(i32)
+        # Suffix increment; inactive lanes are excluded by a row-level
+        # sentinel instead of a per-element mask.
+        symA = jnp.where(active, sym, 256)
+        C[:] = C[:] + (iota256 > symA).astype(i32)
 
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
