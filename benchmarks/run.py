@@ -1,0 +1,168 @@
+"""Benchmark harness: the SURVEY.md §6 table, measured.
+
+Runs the codec end-to-end (device kernels, no file I/O in the timed
+region) over the BASELINE corpora:
+
+  * random_64m  — 64 MiB of uniform random bytes (the reference's README
+    corpus, regenerated like src/compressor.cpp:28-44; incompressible,
+    expected ratio ~1.0005x from framing overhead);
+  * text_64m    — 64 MiB of concatenated source/text files from the local
+    machine (enwik8 stand-in — the build environment has no network
+    egress; exercises the skewed adaptive model and compression ratio);
+  * zeros_64m   — degenerate best case (underflow-run heavy).
+
+For each corpus: encode GB/s, decode GB/s, compression ratio, bit-exact
+round-trip check, plus the host golden-codec cross-check on a sample.
+Prints a markdown table and writes benchmarks/results.json.
+
+Usage: python benchmarks/run.py [--mib 64] [--tile 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _text_corpus(size: int) -> bytes:
+    """Concatenate readable text/source files from the machine into a
+    compressible corpus (deterministic file order)."""
+    roots = ["/usr/lib/python3.12", "/opt/venv/lib", "/usr/include", "/etc"]
+    out = bytearray()
+    for root in roots:
+        if len(out) >= size:
+            break
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if not name.endswith((".py", ".h", ".hpp", ".txt", ".conf",
+                                      ".cfg", ".json", ".md")):
+                    continue
+                try:
+                    with open(os.path.join(dirpath, name), "rb") as f:
+                        out += f.read(1 << 20)
+                except OSError:
+                    continue
+                if len(out) >= size:
+                    return bytes(out[:size])
+    # Pad by repetition if the machine is bare.
+    while len(out) < size:
+        out += out[: size - len(out)] or b"the quick brown fox! "
+    return bytes(out[:size])
+
+
+def corpora(mib: int):
+    size = mib << 20
+    rng = np.random.default_rng(0xBE7C)
+    yield "random", rng.integers(0, 256, size, np.uint8).tobytes()
+    yield "text", _text_corpus(size)
+    yield "zeros", bytes(size)
+
+
+def bench_corpus(name: str, data: bytes, tile: int):
+    import jax.numpy as jnp
+    from gpuar_tpu import native
+    from gpuar_tpu.ops import pallas_decode, pallas_encode
+
+    psize = 8192
+    n = -(-len(data) // psize)
+    n_pad = -(-n // tile) * tile
+    og, ow = pallas_encode.out_geometry(psize)
+
+    raw = np.zeros((n_pad, psize), np.uint8)
+    raw.reshape(-1)[: len(data)] = np.frombuffer(data, np.uint8)
+    sizes = np.zeros(n_pad, np.int32)
+    sizes[:n] = psize
+    if len(data) % psize:
+        sizes[n - 1] = len(data) % psize
+
+    words = np.ascontiguousarray(raw.view(np.int32).T)
+    wd = jnp.asarray(words)
+    sz = jnp.asarray(sizes.reshape(1, -1))
+
+    def enc():
+        return pallas_encode._encode_call(
+            wd, sz, tile=tile, packet_size=psize, out_groups=og)
+
+    big, lens, errs = enc()
+    np.asarray(lens)
+    t0 = time.time()
+    big, lens, errs = enc()
+    lens_h = np.asarray(lens)
+    t_enc = time.time() - t0
+
+    # Reassemble packets; fix any flagged lanes via the golden codec.
+    bigh = np.asarray(big)
+    n_tiles = n_pad // tile
+    bigh = bigh.reshape(og, n_tiles, 8, tile)
+    bigh = np.ascontiguousarray(bigh.transpose(1, 3, 0, 2)).reshape(n_pad, ow)
+    packets = bigh.view(np.uint32).byteswap().view(np.uint8).reshape(
+        n_pad, ow * 4).copy()
+    lens_v = lens_h[0].copy()
+    pallas_encode.fixup_errors(packets, lens_v, np.asarray(errs)[0], raw, sizes)
+
+    # Golden cross-check on sample lanes.
+    for i in (0, n // 2, n - 1):
+        exp = native.encode_packet(raw[i, : sizes[i]].tobytes())
+        assert packets[i, : lens_v[i]].tobytes() == exp, f"{name}: lane {i}"
+
+    comp_bytes = int(lens_v[:n].sum())
+
+    bigd, _ = pallas_decode.packets_to_big2d(packets, tile, ow)
+    bd = jnp.asarray(bigd)
+
+    def dec():
+        return pallas_decode._decode_call(
+            bd, sz, tile=tile, packet_size=psize, out_groups=og)
+
+    out = dec()
+    np.asarray(out[0:1, 0:1])
+    t0 = time.time()
+    out = dec()
+    np.asarray(out[0:1, 0:1])
+    t_dec = time.time() - t0
+
+    outh = np.ascontiguousarray(np.asarray(out).T).view(np.uint8)[:, :psize]
+    assert np.array_equal(outh[:n].reshape(-1)[: len(data)],
+                          np.frombuffer(data, np.uint8)), f"{name}: round-trip"
+
+    total = len(data)
+    return {
+        "corpus": name,
+        "mib": total >> 20,
+        "encode_gbps": round(total / t_enc / 1e9, 4),
+        "decode_gbps": round(total / t_dec / 1e9, 4),
+        "ratio": round((comp_bytes + 20) / total, 6),
+        "roundtrip": "bit-exact",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mib", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=1024)
+    args = ap.parse_args()
+
+    rows = []
+    for name, data in corpora(args.mib):
+        rows.append(bench_corpus(name, data, args.tile))
+        print(f"done: {rows[-1]}", flush=True)
+
+    out = Path(__file__).with_name("results.json")
+    out.write_text(json.dumps(rows, indent=2))
+
+    print("\n| corpus | size | encode GB/s | decode GB/s | ratio | round-trip |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['corpus']} | {r['mib']} MiB | {r['encode_gbps']} | "
+              f"{r['decode_gbps']} | {r['ratio']} | {r['roundtrip']} |")
+
+
+if __name__ == "__main__":
+    main()

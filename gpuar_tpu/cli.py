@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin one accelerator device by index; default: all")
     p.add_argument("--batch-packets", type=int, default=None,
                    help="packets per super-batch (bounds memory)")
+    p.add_argument("--multihost", action="store_true",
+                   help="pod-slice mode: every process codes its file range "
+                        "and splices at gathered offsets (shared filesystem)")
     p.add_argument("--nointeractive", action="store_true",
                    help="suppress progress output")
     p.add_argument("--json", action="store_true",
@@ -46,6 +49,11 @@ def make_compressor(args):
     if args.host:
         from gpuar_tpu.pipeline import HostCompressor
         return HostCompressor(**kwargs)
+    if args.multihost:
+        from gpuar_tpu.parallel.distributed import DistributedCompressor
+        from gpuar_tpu.parallel.runner import TPUCompressor
+        return DistributedCompressor(
+            backend=TPUCompressor(device_index=args.device, **kwargs))
     try:
         from gpuar_tpu.parallel.runner import TPUCompressor
         return TPUCompressor(device_index=args.device, **kwargs)

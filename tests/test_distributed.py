@@ -1,0 +1,114 @@
+"""Multi-host planning math + the distributed drive loop on one process.
+
+The collective exchange degrades to identity on a single process, so the
+full compress/decompress path runs for real here (with the host backend);
+true pod runs exercise the same code with jax.distributed initialized.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from gpuar_tpu import container
+from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE as P
+from gpuar_tpu.parallel import distributed as dist
+from gpuar_tpu.pipeline import HostCompressor
+
+
+def test_host_ranges_alignment_and_cover():
+    for size in (0, 1, P - 1, P, P + 1, 10 * P + 17, 1000 * P):
+        for hosts in (1, 2, 3, 8):
+            rs = dist.host_ranges(size, hosts)
+            assert len(rs) == hosts
+            # Coverage, order, packet alignment of interior boundaries.
+            assert rs[0][0] == 0
+            assert rs[-1][1] == size
+            for (a0, a1), (b0, b1) in zip(rs, rs[1:]):
+                assert a1 == b0
+                assert a0 <= a1
+                if a1 != size:
+                    assert a1 % P == 0
+            # Balance within one packet.
+            counts = [-(-(b - a) // P) if b > a else 0 for a, b in rs]
+            assert max(counts) - min(counts) <= 1
+
+
+def test_exclusive_scan():
+    assert dist.exclusive_scan(np.array([5, 3, 7])).tolist() == [0, 5, 8]
+    assert dist.exclusive_scan(np.array([4])).tolist() == [0]
+
+
+def test_partition_packets():
+    spans = dist.partition_packets(10, 3)
+    assert spans == [(0, 4), (4, 7), (7, 10)]
+    assert dist.partition_packets(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+
+def test_walk_packet_index_and_truncation(rng):
+    # Build a tiny body of 3 framed packets by hand.
+    bodies = [b"\x11" * 10, b"\x22" * 5, b"\x33" * 100]
+    blob = b""
+    for b in bodies:
+        total = len(b) + 4
+        blob += total.to_bytes(2, "little") + len(b).to_bytes(2, "little") + b
+    idx = dist.walk_packet_index(io.BytesIO(blob), len(blob))
+    assert idx.tolist() == [0, 14, 23, 127]
+
+    with pytest.raises(container.ContainerError):
+        dist.walk_packet_index(io.BytesIO(blob[:-1]), len(blob) + 3)
+
+
+def test_distributed_single_process_roundtrip(tmp_path, rng):
+    src = tmp_path / "in.bin"
+    data = rng.integers(0, 256, 3 * P + 1234, np.uint8).tobytes()
+    src.write_bytes(data)
+
+    d = dist.DistributedCompressor(backend=HostCompressor())
+    gip = tmp_path / "out.gip"
+    info = d.compress(src, gip)
+    assert info.uncompressed_file_size == len(data)
+    assert info.compressed_file_size == os.path.getsize(gip)
+
+    # The distributed writer must produce exactly the local pipeline's file.
+    gip_local = tmp_path / "local.gip"
+    HostCompressor().compress(src, gip_local)
+    assert gip.read_bytes() == gip_local.read_bytes()
+
+    back = tmp_path / "back.bin"
+    d.decompress(gip, back)
+    assert back.read_bytes() == data
+
+
+def test_distributed_multi_host_splice_math(tmp_path, rng):
+    """Simulate the 2-host splice with the pure helpers: each fake host
+    encodes its range; offsets from the size scan splice to the exact
+    single-host file."""
+    data = rng.integers(0, 256, 7 * P + 99, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    host = HostCompressor()
+
+    ranges = dist.host_ranges(len(data), 2)
+    bodies = []
+    for a, b in ranges:
+        raw = np.frombuffer(data[a:b], np.uint8)
+        pk, ln = host.encode_batch(raw)
+        bodies.append(
+            b"".join(pk[i, : ln[i]].tobytes() for i in range(pk.shape[0]))
+        )
+    sizes = np.array([len(b) for b in bodies])
+    offsets = dist.exclusive_scan(sizes) + container.HEADER_LENGTH
+    total = container.HEADER_LENGTH + int(sizes.sum())
+
+    blob = bytearray(total)
+    blob[:container.HEADER_LENGTH] = container.FileHeader(
+        uncompressed_size=len(data), compressed_size=total
+    ).to_bytes()
+    for off, body in zip(offsets, bodies):
+        blob[int(off):int(off) + len(body)] = body
+
+    ref = tmp_path / "ref.gip"
+    host.compress(src, ref)
+    assert bytes(blob) == ref.read_bytes()
