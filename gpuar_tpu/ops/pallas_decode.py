@@ -94,7 +94,10 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
     # Windowed refill (see encode's windowed dump): scalar hull of the
     # per-lane cursor rows, taken once per chunk; a chunk consumes <= 16
     # bits/symbol -> <= 64 rows, +2 rows of ring lookahead.
-    WIN = min(96, out_groups)
+    # Worst-case growth of the cursor within one chunk: <= 16
+    # bits/symbol -> steps/16 rows, +3 rows of ring lookahead/align slack.
+    GROW = steps_per_chunk // 16 + 3
+    WIN = min((GROW + 39) & ~7, out_groups)
     wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
     alive0 = (t_chunk * steps_per_chunk) < raw_sizes
     rows0 = st[3:4, :] >> 8          # bitpos -> word -> group row
@@ -102,7 +105,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
     khi = jnp.max(jnp.where(alive0, rows0, jnp.int32(0)))
     klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
     klo = pl.multiple_of(klo, 8)
-    fast = (khi + 67) <= (klo + WIN)
+    fast = (khi + GROW) <= (klo + WIN)
 
     def refill_win(rb):
         for j in range(8):

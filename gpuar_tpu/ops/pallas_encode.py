@@ -53,7 +53,7 @@ from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
 
 U16 = 0xFFFF
 RING = 16          # ring slots (words) per lane
-CHUNK_WORDS = 256  # input words per grid time-chunk (= 1024 symbols)
+CHUNK_WORDS = 32   # input words per grid time-chunk (= 128 symbols)
 MAX_RUN_WORDS = 2  # whole run words handled in-kernel; longer -> error flag
 UNROLL_WORDS = 8   # input words coded per scalar-loop iteration
 # The word loop runs (chunk_words / unroll) iterations; a non-divisor would
@@ -145,7 +145,10 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     # bits/symbol -> <= 66 rows/chunk) fits a WIN-row window, every dump of
     # the chunk scans only that window.  Divergent batches fall back to the
     # full-range scan — identical output either way.
-    WIN = min(96, out_groups)
+    # Worst-case growth of the write front within one chunk: <= 16
+    # bits/symbol -> steps/16 rows, +3 rows of ring/align slack.
+    GROW = steps_per_chunk // 16 + 3
+    WIN = min((GROW + 39) & ~7, out_groups)
     wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
     wb0 = st[6:7, :]
     alive0 = (t_chunk * steps_per_chunk) < sizes
@@ -155,7 +158,7 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     # The dynamic sublane start must be 8-aligned (i32 sublane tiling).
     klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
     klo = pl.multiple_of(klo, 8)
-    fast = (khi + 67) <= (klo + WIN)
+    fast = (khi + GROW) <= (klo + WIN)
 
     def dump_win(wbase, drained):
         for j in range(8):
