@@ -1,0 +1,73 @@
+"""Streaming pipeline behaviour: multi-super-batch files, CLI error paths."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gpuar_tpu import container
+from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE as P
+from gpuar_tpu.pipeline import HostCompressor
+
+
+def test_multi_super_batch_streaming(tmp_path, rng):
+    """A super-batch smaller than the file forces several fill/drain rounds
+    (the reference's do/while loop, src/gpu_compressor.cpp:124); the output
+    must equal the single-batch file byte for byte."""
+    data = rng.integers(0, 256, 7 * P + 321, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+
+    small = tmp_path / "small.gip"
+    HostCompressor(super_batch_packets=2).compress(src, small)
+    big = tmp_path / "big.gip"
+    HostCompressor(super_batch_packets=1024).compress(src, big)
+    assert small.read_bytes() == big.read_bytes()
+
+    back = tmp_path / "back.bin"
+    HostCompressor(super_batch_packets=3).decompress(small, back)
+    assert back.read_bytes() == data
+
+
+def _cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "gpuar_tpu.cli", *args],
+        capture_output=True, text=True, cwd=cwd,
+    )
+
+
+def test_cli_rejects_non_gip(tmp_path, repo_root):
+    bad = tmp_path / "bad.gip"
+    bad.write_bytes(b"this is not a gip file at all, not even close")
+    r = _cli(["d", f"--in={bad}", f"--out={tmp_path/'x.bin'}",
+              "--host", "--nointeractive"], repo_root)
+    assert r.returncode == 1
+    assert "unsupported version" in r.stderr
+
+
+def test_cli_missing_input(tmp_path, repo_root):
+    r = _cli(["c", f"--in={tmp_path/'nope.bin'}",
+              f"--out={tmp_path/'x.gip'}", "--host", "--nointeractive"],
+             repo_root)
+    assert r.returncode == 1
+
+
+def test_cli_truncated_packet(tmp_path, repo_root, rng):
+    src = tmp_path / "in.bin"
+    src.write_bytes(rng.integers(0, 256, 2 * P, np.uint8).tobytes())
+    gip = tmp_path / "c.gip"
+    HostCompressor().compress(src, gip)
+    cut = tmp_path / "cut.gip"
+    cut.write_bytes(gip.read_bytes()[:1000])
+    r = _cli(["d", f"--in={cut}", f"--out={tmp_path/'x.bin'}",
+              "--host", "--nointeractive"], repo_root)
+    assert r.returncode == 1
+    assert "truncated" in r.stderr
+
+
+@pytest.fixture
+def repo_root():
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
