@@ -10,3 +10,22 @@ a device mesh.  The .gip container is interchangeable with the reference.
 __version__ = "0.1.0"
 
 from gpuar_tpu.config import CodecConfig, DEFAULT_CONFIG  # noqa: F401
+from gpuar_tpu.container import ContainerError, FileHeader  # noqa: F401
+from gpuar_tpu.utils.stats import CompressionInfo, ProgressMonitor  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy heavyweight entry points (importing JAX only when asked for).
+    if name == "HostCompressor":
+        from gpuar_tpu.pipeline import HostCompressor
+        return HostCompressor
+    if name == "TPUCompressor":
+        from gpuar_tpu.parallel.runner import TPUCompressor
+        return TPUCompressor
+    if name == "DistributedCompressor":
+        from gpuar_tpu.parallel.distributed import DistributedCompressor
+        return DistributedCompressor
+    if name == "MeshCodec":
+        from gpuar_tpu.parallel.mesh import MeshCodec
+        return MeshCodec
+    raise AttributeError(f"module 'gpuar_tpu' has no attribute {name!r}")

@@ -106,6 +106,7 @@ class ProgressMonitor:
             pass
 
     def finish(self) -> None:
+        """Matches the reference's 100% line (progress_monitor.cpp:30)."""
         if self.enabled:
-            self.stream.write("\n")
+            self.stream.write("Closing file..\n")
             self.stream.flush()

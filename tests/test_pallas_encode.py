@@ -57,3 +57,26 @@ def test_underflow_run_path(rng):
     data[2:] = rng.integers(126, 130, (6, P), np.uint8)
     sizes = np.full(8, P, np.int32)
     check(data, sizes, P)
+
+
+def test_fixup_errors_replaces_flagged_lanes(rng):
+    """Lanes flagged by the kernel (over-long underflow runs / ring guard)
+    must be transparently re-encoded with the golden codec."""
+    P = 64
+    data = rng.integers(0, 256, (4, P), np.uint8)
+    sizes = np.full(4, P, np.int32)
+    stride = 256
+    packets = rng.integers(0, 256, (4, stride), np.uint8)  # garbage
+    lengths = np.zeros(4, np.int64)
+    errs = np.array([1, 0, 1, 0], np.int32)
+    before = packets.copy()
+
+    pallas_encode.fixup_errors(packets, lengths, errs, data, sizes)
+
+    for i in (0, 2):
+        exp = native.encode_packet(data[i].tobytes())
+        assert packets[i, : len(exp)].tobytes() == exp
+        assert lengths[i] == len(exp)
+    for i in (1, 3):
+        assert np.array_equal(packets[i], before[i])
+        assert lengths[i] == 0
