@@ -39,36 +39,28 @@ def main():
     sizes = np.full(n_packets, psize, np.int32)
 
     # --- encode ---------------------------------------------------------
-    words = np.ascontiguousarray(
-        np.ascontiguousarray(data).view(np.int32).T)
-    wd = jnp.asarray(words)
+    wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
     sz = jnp.asarray(sizes.reshape(1, -1))
 
-    big, lens, errs = pallas_encode._encode_call(
+    pk32, lens, errs = pallas_encode._encode_call(
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(lens)  # warm / compile
 
     t0 = time.time()
-    big, lens, errs = pallas_encode._encode_call(
+    pk32, lens, errs = pallas_encode._encode_call(
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     lens_h = np.asarray(lens)
     t_enc = time.time() - t0
     assert not np.asarray(errs).any(), "encode error lanes on random corpus"
 
     # --- verify a sample of lanes bit-for-bit vs the golden codec --------
-    bigh = np.asarray(big)
-    n_tiles = n_packets // tile
-    bigh = bigh.reshape(og, n_tiles, 8, tile)
-    bigh = np.ascontiguousarray(bigh.transpose(1, 3, 0, 2)).reshape(n_packets, ow)
-    packets = bigh.view(np.uint32).byteswap().view(np.uint8).reshape(
-        n_packets, ow * 4)
+    packets = np.ascontiguousarray(np.asarray(pk32)).view(np.uint8)
     for i in (0, 1, n_packets // 2, n_packets - 1):
         exp = native.encode_packet(data[i].tobytes())
         assert packets[i, : lens_h[0, i]].tobytes() == exp, f"lane {i} diverged"
 
     # --- decode ---------------------------------------------------------
-    bigd, _ = pallas_decode.packets_to_big2d(packets, tile, ow)
-    bd = jnp.asarray(bigd)
+    bd = jnp.asarray(packets.view(np.int32))
     out = pallas_decode._decode_call(
         bd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(out[0:1, 0:1])  # warm
@@ -79,7 +71,7 @@ def main():
     np.asarray(out[0:1, 0:1])
     t_dec = time.time() - t0
 
-    raw = np.ascontiguousarray(np.asarray(out).T).view(np.uint8)[:, :psize]
+    raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
     assert np.array_equal(raw, data), "round-trip mismatch"
 
     total = n_packets * psize

@@ -28,20 +28,19 @@ def main():
     data = rng.integers(0, 256, (n_packets, psize), np.uint8)
     sizes = np.full(n_packets, psize, np.int32)
 
-    words = np.ascontiguousarray(np.ascontiguousarray(data).view(np.int32).T)
-    wd = jnp.asarray(words)
+    wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
     sz = jnp.asarray(sizes.reshape(1, -1))
     total = n_packets * psize
 
     packets = lens_h = None
     if which in ("enc", "both"):
-        big, lens, errs = pallas_encode._encode_call(
+        pk32, lens, errs = pallas_encode._encode_call(
             wd, sz, tile=tile, packet_size=psize, out_groups=og)
         np.asarray(lens)
         ts = []
         for _ in range(3):
             t0 = time.time()
-            big, lens, errs = pallas_encode._encode_call(
+            pk32, lens, errs = pallas_encode._encode_call(
                 wd, sz, tile=tile, packet_size=psize, out_groups=og)
             lens_h = np.asarray(lens)
             ts.append(time.time() - t0)
@@ -49,13 +48,7 @@ def main():
         print(f"encode: {t_enc*1e3:8.2f} ms  {total/t_enc/1e9:7.3f} GB/s  "
               f"({t_enc*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
         assert not np.asarray(errs).any()
-        bigh = np.asarray(big)
-        n_tiles = n_packets // tile
-        bigh = bigh.reshape(og, n_tiles, 8, tile)
-        bigh = np.ascontiguousarray(bigh.transpose(1, 3, 0, 2)).reshape(
-            n_packets, ow)
-        packets = bigh.view(np.uint32).byteswap().view(np.uint8).reshape(
-            n_packets, ow * 4)
+        packets = np.ascontiguousarray(np.asarray(pk32)).view(np.uint8)
         for i in (0, 1, n_packets // 2, n_packets - 1):
             exp = native.encode_packet(data[i].tobytes())
             assert packets[i, : lens_h[0, i]].tobytes() == exp, \
@@ -69,8 +62,7 @@ def main():
                 enc = native.encode_packet(data[i].tobytes())
                 packets[i, : len(enc)] = np.frombuffer(enc, np.uint8)
                 lens_h[0, i] = len(enc)
-        bigd, _ = pallas_decode.packets_to_big2d(packets, tile, ow)
-        bd = jnp.asarray(bigd)
+        bd = jnp.asarray(np.ascontiguousarray(packets).view(np.int32))
         out = pallas_decode._decode_call(
             bd, sz, tile=tile, packet_size=psize, out_groups=og)
         np.asarray(out)
@@ -84,8 +76,7 @@ def main():
         t_dec = min(ts)
         print(f"decode: {t_dec*1e3:8.2f} ms  {total/t_dec/1e9:7.3f} GB/s  "
               f"({t_dec*1e9/((n_packets//tile)*psize):6.1f} ns/step)")
-        outh = np.asarray(out)
-        raw = np.ascontiguousarray(outh.T).view(np.uint8)[:, :psize]
+        raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
         assert np.array_equal(raw, data), "round-trip mismatch"
 
 

@@ -82,28 +82,22 @@ def bench_corpus(name: str, data: bytes, tile: int):
     if len(data) % psize:
         sizes[n - 1] = len(data) % psize
 
-    words = np.ascontiguousarray(raw.view(np.int32).T)
-    wd = jnp.asarray(words)
+    wd = jnp.asarray(raw.view(np.int32))
     sz = jnp.asarray(sizes.reshape(1, -1))
 
     def enc():
         return pallas_encode._encode_call(
             wd, sz, tile=tile, packet_size=psize, out_groups=og)
 
-    big, lens, errs = enc()
+    pk32, lens, errs = enc()
     np.asarray(lens)
     t0 = time.time()
-    big, lens, errs = enc()
+    pk32, lens, errs = enc()
     lens_h = np.asarray(lens)
     t_enc = time.time() - t0
 
-    # Reassemble packets; fix any flagged lanes via the golden codec.
-    bigh = np.asarray(big)
-    n_tiles = n_pad // tile
-    bigh = bigh.reshape(og, n_tiles, 8, tile)
-    bigh = np.ascontiguousarray(bigh.transpose(1, 3, 0, 2)).reshape(n_pad, ow)
-    packets = bigh.view(np.uint32).byteswap().view(np.uint8).reshape(
-        n_pad, ow * 4).copy()
+    # Fix any flagged lanes via the golden codec.
+    packets = np.ascontiguousarray(np.asarray(pk32)).view(np.uint8).copy()
     lens_v = lens_h[0].copy()
     pallas_encode.fixup_errors(packets, lens_v, np.asarray(errs)[0], raw, sizes)
 
@@ -114,8 +108,7 @@ def bench_corpus(name: str, data: bytes, tile: int):
 
     comp_bytes = int(lens_v[:n].sum())
 
-    bigd, _ = pallas_decode.packets_to_big2d(packets, tile, ow)
-    bd = jnp.asarray(bigd)
+    bd = jnp.asarray(np.ascontiguousarray(packets).view(np.int32))
 
     def dec():
         return pallas_decode._decode_call(
@@ -128,7 +121,7 @@ def bench_corpus(name: str, data: bytes, tile: int):
     np.asarray(out[0:1, 0:1])
     t_dec = time.time() - t0
 
-    outh = np.ascontiguousarray(np.asarray(out).T).view(np.uint8)[:, :psize]
+    outh = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
     assert np.array_equal(outh[:n].reshape(-1)[: len(data)],
                           np.frombuffer(data, np.uint8)), f"{name}: round-trip"
 

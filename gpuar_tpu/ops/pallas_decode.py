@@ -222,8 +222,28 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
     jax.jit,
     static_argnames=("tile", "packet_size", "out_groups", "interpret"),
 )
-def _decode_call(big, sizes, *, tile, packet_size, out_groups,
+def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
                  interpret=False):
+    """Decode packets32 [n_lanes, out_words] i32 (u8 view = the framed
+    bitstreams) -> raw words [n_lanes, p_words] i32 (u8 view = the bytes).
+
+    Layout work (byte order, tile interleave, output transpose) runs on
+    the device — the host only reinterprets dtypes.
+    """
+    from gpuar_tpu.ops.pallas_encode import _bswap32
+
+    n_lanes = packets32.shape[0]
+    n_tiles = n_lanes // tile
+    g = out_groups
+    big = _bswap32(packets32).reshape(n_tiles, tile, g, 8) \
+        .transpose(2, 0, 3, 1).reshape(g, 8 * n_lanes)
+    out = _decode_big2d(big, sizes, tile=tile, packet_size=packet_size,
+                        out_groups=out_groups, interpret=interpret)
+    return out.T
+
+
+def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
+                  interpret=False):
     n_lanes = sizes.shape[1]
     n_tiles = n_lanes // tile
     p_words = packet_size // 4
@@ -269,19 +289,14 @@ def _decode_call(big, sizes, *, tile, packet_size, out_groups,
     )(sizes, big)
 
 
-def packets_to_big2d(packets: np.ndarray, tile: int, out_words: int):
-    """Fixed-stride packets [n, >=out_words*4] u8 -> big2d [groups, 8*n_pad]
-    i32 BE words (+ returns n_pad)."""
+def pad_packets32(packets: np.ndarray, tile: int, out_words: int):
+    """Fixed-stride packets [n, >=out_words*4] u8 -> [n_pad, out_words] i32
+    (LE byte view), padded to a tile multiple (+ returns n_pad)."""
     n = packets.shape[0]
     n_pad = -(-max(n, 1) // tile) * tile
     byts = np.zeros((n_pad, out_words * 4), np.uint8)
     byts[:n, : packets.shape[1]] = packets[:, : out_words * 4]
-    words = byts.view(np.uint32).byteswap().view(np.int32)  # BE words
-    n_tiles = n_pad // tile
-    # [n_pad, out_words] -> [groups, tiles, 8, tile] -> [groups, 8*n_pad]
-    g = out_words // 8
-    arr = words.reshape(n_tiles, tile, g, 8).transpose(2, 0, 3, 1)
-    return np.ascontiguousarray(arr).reshape(g, 8 * n_pad), n_pad
+    return byts.view(np.int32), n_pad
 
 
 def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
@@ -291,15 +306,14 @@ def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
     """Decode fixed-stride packets -> padded raw [B, packet_size] u8."""
     n = packets.shape[0]
     out_groups, out_words = out_geometry(packet_size)
-    big, n_pad = packets_to_big2d(packets, tile, out_words)
+    packets32, n_pad = pad_packets32(packets, tile, out_words)
     sz = np.zeros((1, n_pad), np.int32)
     sz[0, :n] = raw_sizes
 
     out = _decode_call(
-        jnp.asarray(big), jnp.asarray(sz),
+        jnp.asarray(packets32), jnp.asarray(sz),
         tile=tile, packet_size=packet_size, out_groups=out_groups,
         interpret=interpret,
     )
-    out = np.asarray(out)  # [p_words, n_pad] LE words
-    raw = np.ascontiguousarray(out.T).view(np.uint8)[:, : packet_size]
+    raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, : packet_size]
     return raw[:n].copy()

@@ -343,11 +343,39 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         err_ref[:] = e2
 
 
+def _bswap32(w):
+    """Byte-swap i32 words (the bit accumulator emits big-endian words)."""
+    shr = jax.lax.shift_right_logical
+    return (shr(w, 24) | (shr(w, 8) & 0xFF00)
+            | ((w & 0xFF00) << 8) | (w << 24))
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile", "packet_size", "out_groups", "interpret")
 )
-def _encode_call(words, sizes, *, tile, packet_size, out_groups,
+def _encode_call(words_rows, sizes, *, tile, packet_size, out_groups,
                  interpret=False):
+    """Encode row-major raw words [n_lanes, p_words] i32 (LE byte view of
+    the packets) -> (packets32 [n_lanes, out_words] i32 whose u8 view is
+    the framed bitstream, lengths [1, n_lanes], errs [1, n_lanes]).
+
+    All layout work (input transpose; output tile-detangle, transpose and
+    byte order) runs on the device, so the host never touches the bulk
+    bytes beyond a dtype view.
+    """
+    n_lanes = words_rows.shape[0]
+    big, lens, errs = _encode_big2d(
+        words_rows.T, sizes, tile=tile, packet_size=packet_size,
+        out_groups=out_groups, interpret=interpret)
+    n_tiles = n_lanes // tile
+    big = big.reshape(out_groups, n_tiles, 8, tile)
+    packets32 = _bswap32(
+        big.transpose(1, 3, 0, 2).reshape(n_lanes, out_groups * 8))
+    return packets32, lens, errs
+
+
+def _encode_big2d(words, sizes, *, tile, packet_size, out_groups,
+                  interpret=False):
     n_lanes = words.shape[1]
     n_tiles = n_lanes // tile
     p_words = packet_size // 4
@@ -448,20 +476,13 @@ def encode_batch_pallas(data: np.ndarray, sizes: np.ndarray, *,
     sz = np.zeros((1, n_pad), np.int32)
     sz[0, :n] = sizes
 
-    big, lens, errs = _encode_call(
-        jnp.asarray(np.ascontiguousarray(words.T)), jnp.asarray(sz),
+    packets32, lens, errs = _encode_call(
+        jnp.asarray(words), jnp.asarray(sz),
         tile=tile, packet_size=packet_size, out_groups=out_groups,
         interpret=interpret,
     )
-    big = np.asarray(big)      # [groups, 8 * n_pad], lane-major j*tile + l
     lens = np.asarray(lens)[0, :n].copy()
     errs = np.asarray(errs)[0, :n]
-
-    # [groups, tiles, 8, tile] -> [tiles, tile, groups, 8] -> bytes
-    n_tiles = n_pad // tile
-    big = big.reshape(out_groups, n_tiles, 8, tile)
-    big = np.ascontiguousarray(big.transpose(1, 3, 0, 2)).reshape(n_pad, out_words)
-    packets = big.view(np.uint32).byteswap().view(np.uint8)  # BE words
-    packets = packets.reshape(n_pad, out_words * 4)[:n].copy()
+    packets = np.ascontiguousarray(np.asarray(packets32)).view(np.uint8)[:n].copy()
     fixup_errors(packets, lens, errs, data, sizes)
     return packets, lens

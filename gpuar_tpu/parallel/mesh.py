@@ -56,8 +56,8 @@ def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
         return call
     fn = jax.shard_map(
         call, mesh=mesh,
-        in_specs=(P(None, "data"), P(None, "data")),
-        out_specs=(P(None, "data"), P(None, "data"), P(None, "data")),
+        in_specs=(P("data", None), P(None, "data")),
+        out_specs=(P("data", None), P(None, "data"), P(None, "data")),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -73,8 +73,8 @@ def _sharded_decode(mesh, tile, packet_size, out_groups, interpret):
         return call
     fn = jax.shard_map(
         call, mesh=mesh,
-        in_specs=(P(None, "data"), P(None, "data")),
-        out_specs=P(None, "data"),
+        in_specs=(P("data", None), P(None, "data")),
+        out_specs=P("data", None),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -108,10 +108,11 @@ class MeshCodec:
         return -(-max(n, 1) // self.lane_quantum) * self.lane_quantum
 
     # --- encode ----------------------------------------------------------
-    def encode_device(self, words, sizes):
-        """words [p_words, lanes] i32 (LE), sizes [1, lanes] -> device arrays
-        (big2d [groups, 8*lanes], lengths [1, lanes], errs [1, lanes])."""
-        return self._enc(words, sizes)
+    def encode_device(self, words_rows, sizes):
+        """words_rows [lanes, p_words] i32 (LE), sizes [1, lanes] -> device
+        arrays (packets32 [lanes, out_words], lengths [1, lanes],
+        errs [1, lanes])."""
+        return self._enc(words_rows, sizes)
 
     def encode(self, data: np.ndarray, sizes: np.ndarray):
         """Padded raw packets [n, packet_size] u8 -> (packets [n, stride] u8,
@@ -123,38 +124,28 @@ class MeshCodec:
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = sizes
 
-        big, lens, errs = self.encode_device(
-            jnp.asarray(np.ascontiguousarray(words.T)), jnp.asarray(sz))
-        packets, lengths = self._postprocess_encode(
-            np.asarray(big), np.asarray(lens), n)
-        lengths = lengths.copy()
+        packets32, lens, errs = self.encode_device(
+            jnp.asarray(words), jnp.asarray(sz))
+        packets = np.ascontiguousarray(np.asarray(packets32)).view(np.uint8)[:n].copy()
+        lengths = np.asarray(lens)[0, :n].copy()
         pallas_encode.fixup_errors(
             packets, lengths, np.asarray(errs)[0, :n], data, sizes)
         return packets, lengths
 
-    def _postprocess_encode(self, big, lens, n):
-        n_pad = big.shape[1] // 8
-        n_tiles = n_pad // self.tile
-        big = big.reshape(self.out_groups, n_tiles, 8, self.tile)
-        big = np.ascontiguousarray(big.transpose(1, 3, 0, 2)).reshape(
-            n_pad, self.out_words)
-        packets = big.view(np.uint32).byteswap().view(np.uint8).reshape(
-            n_pad, self.out_words * 4).copy()
-        return packets[:n], lens[0, :n]
-
     # --- decode ----------------------------------------------------------
-    def decode_device(self, big, sizes):
-        return self._dec(big, sizes)
+    def decode_device(self, packets32, sizes):
+        return self._dec(packets32, sizes)
 
     def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
         n = packets.shape[0]
         n_pad = self._pad_lanes(n)
-        big, _ = pallas_decode.packets_to_big2d(
+        packets32, _ = pallas_decode.pad_packets32(
             _pad_rows(packets, n_pad), self.tile, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = raw_sizes
-        out = np.asarray(self.decode_device(jnp.asarray(big), jnp.asarray(sz)))
-        raw = np.ascontiguousarray(out.T).view(np.uint8)[:, : self.packet_size]
+        out = np.asarray(self.decode_device(jnp.asarray(packets32),
+                                            jnp.asarray(sz)))
+        raw = np.ascontiguousarray(out).view(np.uint8)[:, : self.packet_size]
         return raw[:n].copy()
 
 
