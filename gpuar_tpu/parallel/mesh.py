@@ -27,13 +27,20 @@ from gpuar_tpu.ops import pallas_decode, pallas_encode
 
 def enable_compilation_cache() -> None:
     """Persist compiled executables across processes (first compile of the
-    coder kernels is tens of seconds; cached reloads are sub-second)."""
+    coder kernels is tens of seconds; cached reloads are sub-second).
+
+    CPU executables are AOT-compiled for the exact host microarchitecture,
+    so the cache is only enabled for accelerator backends — a cached CPU
+    binary from another machine can SIGILL.
+    """
     import os
 
-    path = os.path.expanduser(
-        os.environ.get("GPUAR_TPU_CACHE", "~/.cache/gpuar_tpu_jax")
-    )
     try:
+        if jax.default_backend() == "cpu":
+            return
+        path = os.path.expanduser(
+            os.environ.get("GPUAR_TPU_CACHE", "~/.cache/gpuar_tpu_jax")
+        )
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
