@@ -50,9 +50,20 @@ def make_compressor(args):
         from gpuar_tpu.pipeline import HostCompressor
         return HostCompressor(**kwargs)
     if args.multihost:
-        from gpuar_tpu.parallel.distributed import DistributedCompressor
+        from gpuar_tpu.parallel import distributed
         from gpuar_tpu.parallel.runner import TPUCompressor
-        return DistributedCompressor(
+        try:
+            # On TPU pods the coordinator/world is discovered from the
+            # environment; elsewhere set JAX's distributed env vars.
+            distributed.initialize()
+        except Exception as e:
+            print(f"Attention: jax.distributed unavailable ({e}).",
+                  file=sys.stderr)
+        if distributed.process_info()[1] == 1:
+            print("Attention: --multihost with a single process; if other "
+                  "uncoordinated processes write the same output it will be "
+                  "corrupted.", file=sys.stderr)
+        return distributed.DistributedCompressor(
             backend=TPUCompressor(device_index=args.device, **kwargs))
     try:
         from gpuar_tpu.parallel.runner import TPUCompressor

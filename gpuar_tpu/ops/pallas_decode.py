@@ -92,10 +92,9 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
     raw_sizes = sizes_ref[:]
 
     # Windowed refill (see encode's windowed dump): scalar hull of the
-    # per-lane cursor rows, taken once per chunk; a chunk consumes <= 16
-    # bits/symbol -> <= 64 rows, +2 rows of ring lookahead.
-    # Worst-case growth of the cursor within one chunk: <= 16
-    # bits/symbol -> steps/16 rows, +3 rows of ring lookahead/align slack.
+    # per-lane cursor rows, taken once per chunk.  Worst-case cursor growth
+    # within one chunk: <= 16 bits/symbol = steps_per_chunk/16 rows, +3
+    # rows of ring lookahead / alignment slack.
     GROW = steps_per_chunk // 16 + 3
     WIN = min((GROW + 39) & ~7, out_groups)
     wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)

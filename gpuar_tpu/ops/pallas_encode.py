@@ -141,12 +141,11 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     # cost when it scans all out_groups rows (measured +240 ns/symbol).
     # Lanes' write fronts cluster tightly on real data, so once per chunk
     # the scalar [klo, khi] hull of the per-lane fronts is taken and, when
-    # the hull plus this chunk's worst-case growth (a lane emits <= 16
-    # bits/symbol -> <= 66 rows/chunk) fits a WIN-row window, every dump of
-    # the chunk scans only that window.  Divergent batches fall back to the
-    # full-range scan — identical output either way.
-    # Worst-case growth of the write front within one chunk: <= 16
-    # bits/symbol -> steps/16 rows, +3 rows of ring/align slack.
+    # the hull plus this chunk's worst-case growth fits a WIN-row window,
+    # every dump of the chunk scans only that window.  Divergent batches
+    # fall back to the full-range scan — identical output either way.
+    # Worst-case growth of a write front within one chunk: <= 16
+    # bits/symbol = steps_per_chunk/16 rows, +3 rows ring/align slack.
     GROW = steps_per_chunk // 16 + 3
     WIN = min((GROW + 79) & ~7, out_groups)
     wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)

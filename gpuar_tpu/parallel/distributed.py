@@ -16,11 +16,11 @@ communication backend"):
     `pwrite`s its spliced body at its offset;
   * host 0 writes the 20-byte .gip header once the totals are known.
 
-Decompression mirrors it: packet boundaries are data-dependent, so the
-compressed stream is header-walked once (cheap: 4 bytes of header per
-~8.5 KB packet) to build an index; packets are partitioned contiguously
-across hosts; every host decodes its span and writes at deterministic raw
-offsets (packet_index * UNCOMPRESSED_PACKET_SIZE).
+Decompression mirrors it: packet boundaries are data-dependent, so rank 0
+header-walks the compressed stream once (a streaming pass over the body)
+to build the packet index and broadcasts it; packets are partitioned
+contiguously across hosts; every host decodes its span and writes at
+deterministic raw offsets (packet_index * UNCOMPRESSED_PACKET_SIZE).
 
 All collective plumbing is isolated behind ``_allgather_sizes`` so the
 range/offset/index math is pure and unit-testable without a pod
@@ -40,7 +40,8 @@ from gpuar_tpu.config import (
     PACKET_HEADER_LENGTH,
     UNCOMPRESSED_PACKET_SIZE,
 )
-from gpuar_tpu.utils.stats import CompressionInfo, ProgressMonitor
+from gpuar_tpu.pipeline import _splice
+from gpuar_tpu.utils.stats import CompressionInfo, ProgressMonitor, SplitTimer
 
 
 def initialize(coordinator_address: str | None = None,
@@ -175,6 +176,27 @@ def _barrier(name: str) -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def _indexed_once(body, body_size: int, rank: int, world: int) -> np.ndarray:
+    """Packet index, walked by rank 0 and broadcast (a walk streams the
+    whole body, so other hosts should not repeat it)."""
+    if world == 1:
+        return walk_packet_index(body, body_size)
+    from jax.experimental import multihost_utils
+
+    if rank == 0:
+        index = walk_packet_index(body, body_size)
+        n = np.asarray([len(index)], dtype=np.int64)
+    else:
+        index = None
+        n = np.zeros(1, dtype=np.int64)
+    n = int(multihost_utils.broadcast_one_to_all(n)[0])
+    if index is None:
+        index = np.zeros(n, dtype=np.int64)
+    return np.asarray(
+        multihost_utils.broadcast_one_to_all(index), dtype=np.int64
+    )
+
+
 # --------------------------------------------------------------------------
 # Distributed drive loops
 # --------------------------------------------------------------------------
@@ -196,100 +218,135 @@ class DistributedCompressor:
 
     def compress(self, src: str | Path, dst: str | Path,
                  monitor: ProgressMonitor | None = None) -> CompressionInfo:
-        import jax
+        import tempfile
 
         rank, world = process_info()
+        # Progress is reported rank-locally (against this host's range) and
+        # printed by rank 0 only, to keep a shared stdout readable.
         monitor = monitor or ProgressMonitor(enabled=False)
+        monitor.enabled = monitor.enabled and rank == 0
+        monitor.reset()
         info = CompressionInfo()
+        process, io = SplitTimer(), SplitTimer()
         info.uncompressed_file_size = os.path.getsize(src)
         ranges = host_ranges(info.uncompressed_file_size, world)
         start, stop = ranges[rank]
+        local = CompressionInfo(uncompressed_file_size=stop - start)
 
-        # Encode this host's packet range into an in-memory body.
-        parts = []
+        # Encode this host's packet range, spooling the spliced body to a
+        # temp file so memory stays bounded by one super-batch.
         batch = self.backend.super_batch_packets * UNCOMPRESSED_PACKET_SIZE
-        with open(src, "rb") as fin:
-            fin.seek(start)
+        with open(src, "rb") as fin, \
+                tempfile.TemporaryFile(dir=os.path.dirname(
+                    os.path.abspath(dst))) as spool:
+            with io:
+                fin.seek(start)
             todo = stop - start
+            body_size = 0
             while todo > 0:
-                chunk = fin.read(min(batch, todo))
+                with io:
+                    chunk = fin.read(min(batch, todo))
                 if not chunk:
                     break
                 todo -= len(chunk)
-                raw = np.frombuffer(chunk, dtype=np.uint8)
-                packets, lengths = self.backend.encode_batch(raw)
-                parts.extend(
-                    packets[i, : lengths[i]] for i in range(packets.shape[0])
-                )
-                info.processed_uncompressed_size += len(chunk)
-                monitor.update(info)
-        body = np.concatenate(parts).tobytes() if parts else b""
+                with process:
+                    raw = np.frombuffer(chunk, dtype=np.uint8)
+                    packets, lengths = self.backend.encode_batch(raw)
+                    piece = _splice(packets, lengths)
+                with io:
+                    spool.write(piece)
+                body_size += len(piece)
+                local.processed_uncompressed_size += len(chunk)
+                monitor.update(local)
 
-        # Metadata exchange: sizes -> offsets; then ordered parallel splice.
-        sizes = _allgather_sizes(len(body))
-        offsets = exclusive_scan(sizes) + container.HEADER_LENGTH
-        total = int(container.HEADER_LENGTH + sizes.sum())
-        info.compressed_file_size = total
+            # Metadata exchange: sizes -> offsets; ordered parallel splice.
+            sizes = _allgather_sizes(body_size)
+            offsets = exclusive_scan(sizes) + container.HEADER_LENGTH
+            total = int(container.HEADER_LENGTH + sizes.sum())
+            info.compressed_file_size = total
+            info.processed_uncompressed_size = info.uncompressed_file_size
 
-        if rank == 0:
-            with open(dst, "wb") as f:
-                f.truncate(total)
-                f.write(
-                    container.FileHeader(
-                        uncompressed_size=info.uncompressed_file_size,
-                        compressed_size=total,
-                    ).to_bytes()
-                )
-        _barrier("gip-header-written")
-        with open(dst, "r+b") as f:
-            f.seek(int(offsets[rank]))
-            f.write(body)
+            if rank == 0:
+                with io, open(dst, "wb") as f:
+                    f.truncate(total)
+                    f.write(
+                        container.FileHeader(
+                            uncompressed_size=info.uncompressed_file_size,
+                            compressed_size=total,
+                        ).to_bytes()
+                    )
+            _barrier("gip-header-written")
+            with io, open(dst, "r+b") as f:
+                f.seek(int(offsets[rank]))
+                spool.seek(0)
+                while True:
+                    blk = spool.read(64 << 20)
+                    if not blk:
+                        break
+                    f.write(blk)
         _barrier("gip-bodies-written")
         monitor.finish()
+        info.process_time = process.total
+        info.io_time = io.total
         return info
 
     def decompress(self, src: str | Path, dst: str | Path,
                    monitor: ProgressMonitor | None = None) -> CompressionInfo:
         rank, world = process_info()
         monitor = monitor or ProgressMonitor(enabled=False)
+        monitor.enabled = monitor.enabled and rank == 0
+        monitor.reset()
         info = CompressionInfo()
+        process, io = SplitTimer(), SplitTimer()
         actual = os.path.getsize(src)
         with open(src, "rb") as fin:
-            header = container.FileHeader.from_bytes(
-                fin.read(container.HEADER_LENGTH), actual_file_size=actual
-            )
+            with io:
+                header = container.FileHeader.from_bytes(
+                    fin.read(container.HEADER_LENGTH), actual_file_size=actual
+                )
             info.uncompressed_file_size = header.uncompressed_size
             info.compressed_file_size = header.compressed_size
 
-            # Header walk -> packet index (every host walks independently;
-            # the walk touches 4 bytes per ~8.5 KB packet).
+            # Packet boundaries are data-dependent: rank 0 walks the packet
+            # headers once (streaming the body), then broadcasts the index
+            # so the other hosts skip the redundant full-file read.
             body = _BodyView(fin, container.HEADER_LENGTH)
-            index = walk_packet_index(
-                body, header.compressed_size - container.HEADER_LENGTH
-            )
+            body_size = header.compressed_size - container.HEADER_LENGTH
+            with io:
+                index = _indexed_once(body, body_size, rank, world)
             n_packets = len(index) - 1
             first, last = partition_packets(n_packets, world)[rank]
+            # Rank-local progress is tracked in compressed bytes (the raw
+            # span of a compressed range is not knowable up front).
+            local = CompressionInfo()
+            local.uncompressed_file_size = max(
+                int(index[last] - index[first]), 1)
 
             if rank == 0:
-                with open(dst, "wb") as f:
+                with io, open(dst, "wb") as f:
                     f.truncate(info.uncompressed_file_size)
             _barrier("raw-file-sized")
 
             with open(dst, "r+b") as fout:
-                done = 0
                 for lo in range(first, last,
                                 self.backend.super_batch_packets):
                     hi = min(lo + self.backend.super_batch_packets, last)
-                    packets, raw_sizes = _load_packets(body, index, lo, hi)
-                    raw = self.backend.decode_batch(packets, raw_sizes)
-                    fout.seek(lo * UNCOMPRESSED_PACKET_SIZE)
-                    for i in range(raw.shape[0]):
-                        fout.write(raw[i, : raw_sizes[i]].tobytes())
-                    done += int(raw_sizes.sum())
-                    info.processed_uncompressed_size = done
-                    monitor.update(info)
+                    with io:
+                        packets, raw_sizes = _load_packets(body, index, lo, hi)
+                    with process:
+                        raw = self.backend.decode_batch(packets, raw_sizes)
+                    with io:
+                        fout.seek(lo * UNCOMPRESSED_PACKET_SIZE)
+                        for i in range(raw.shape[0]):
+                            fout.write(raw[i, : raw_sizes[i]].tobytes())
+                    local.processed_uncompressed_size += \
+                        int(index[hi] - index[lo])
+                    monitor.update(local)
         _barrier("raw-bodies-written")
         monitor.finish()
+        info.processed_uncompressed_size = info.uncompressed_file_size
+        info.process_time = process.total
+        info.io_time = io.total
         return info
 
 

@@ -23,7 +23,10 @@ class TPUCompressor(Compressor):
     def __init__(self, device_index: int | None = None,
                  super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
                  tile: int = 1024):
-        devices = jax.devices()
+        # Local devices only: in a multi-host run each process codes its own
+        # file range on its own chips (DistributedCompressor handles the
+        # cross-host splice); a global-device mesh would be unaddressable.
+        devices = jax.local_devices()
         if not devices:
             raise RuntimeError("no JAX devices")
         if device_index is not None:
