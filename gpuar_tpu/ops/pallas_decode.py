@@ -248,6 +248,11 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
     p_words = packet_size // 4
     n_chunks = max(p_words // CHUNK_WORDS, 1)
     chunk_words = min(CHUNK_WORDS, p_words)
+    # A multi-chunk packet must split into whole chunks, or the chunk grid
+    # would silently drop its tail words.
+    assert n_chunks * chunk_words == p_words, (
+        f"packet_size {p_words * 4} B is not a multiple of the "
+        f"{CHUNK_WORDS * 4}-byte chunk")
     assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
 
