@@ -121,39 +121,58 @@ class MeshCodec:
         errs [1, lanes])."""
         return self._enc(words_rows, sizes)
 
-    def encode(self, data: np.ndarray, sizes: np.ndarray):
-        """Padded raw packets [n, packet_size] u8 -> (packets [n, stride] u8,
-        lengths [n])."""
+    def encode_async(self, data: np.ndarray, sizes: np.ndarray):
+        """Launch the device encode; returns a handle for encode_wait.
+
+        JAX dispatch is asynchronous, so the device starts immediately and
+        the host is free to overlap I/O until encode_wait materialises the
+        results.
+        """
         n = data.shape[0]
         n_pad = self._pad_lanes(n)
         words = np.zeros((n_pad, self.packet_size // 4), np.int32)
         words[:n] = np.ascontiguousarray(data).view(np.int32)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = sizes
+        dev = self.encode_device(jnp.asarray(words), jnp.asarray(sz))
+        return dev, data, sizes, n
 
-        packets32, lens, errs = self.encode_device(
-            jnp.asarray(words), jnp.asarray(sz))
-        packets = np.ascontiguousarray(np.asarray(packets32)).view(np.uint8)[:n].copy()
+    def encode_wait(self, handle):
+        (packets32, lens, errs), data, sizes, n = handle
+        packets = np.ascontiguousarray(
+            np.asarray(packets32)).view(np.uint8)[:n].copy()
         lengths = np.asarray(lens)[0, :n].copy()
         pallas_encode.fixup_errors(
             packets, lengths, np.asarray(errs)[0, :n], data, sizes)
         return packets, lengths
 
+    def encode(self, data: np.ndarray, sizes: np.ndarray):
+        """Padded raw packets [n, packet_size] u8 -> (packets [n, stride] u8,
+        lengths [n])."""
+        return self.encode_wait(self.encode_async(data, sizes))
+
     # --- decode ----------------------------------------------------------
     def decode_device(self, packets32, sizes):
         return self._dec(packets32, sizes)
 
-    def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
+    def decode_async(self, packets: np.ndarray, raw_sizes: np.ndarray):
         n = packets.shape[0]
         n_pad = self._pad_lanes(n)
         packets32, _ = pallas_decode.pad_packets32(
             _pad_rows(packets, n_pad), self.tile, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = raw_sizes
-        out = np.asarray(self.decode_device(jnp.asarray(packets32),
-                                            jnp.asarray(sz)))
-        raw = np.ascontiguousarray(out).view(np.uint8)[:, : self.packet_size]
+        out = self.decode_device(jnp.asarray(packets32), jnp.asarray(sz))
+        return out, n
+
+    def decode_wait(self, handle) -> np.ndarray:
+        out, n = handle
+        raw = np.ascontiguousarray(
+            np.asarray(out)).view(np.uint8)[:, : self.packet_size]
         return raw[:n].copy()
+
+    def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
+        return self.decode_wait(self.decode_async(packets, raw_sizes))
 
 
 def _pad_rows(arr: np.ndarray, n_pad: int) -> np.ndarray:

@@ -39,18 +39,38 @@ class TPUCompressor(Compressor):
         super_batch_packets = max(q, super_batch_packets // q * q)
         super().__init__(super_batch_packets=super_batch_packets)
 
-    def encode_batch(self, raw: np.ndarray):
+    def _packetize(self, raw: np.ndarray):
         psize = self.codec.packet_size
         n = max(-(-raw.size // psize), 1) if raw.size else 0
         if n == 0:
-            return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
+            return None, None
         data = np.zeros((n, psize), np.uint8)
-        flat = data.reshape(-1)
-        flat[: raw.size] = raw
+        data.reshape(-1)[: raw.size] = raw
         sizes = np.full(n, psize, np.int32)
-        tail = raw.size - (n - 1) * psize
-        sizes[-1] = tail
-        return self.codec.encode(data, sizes)
+        sizes[-1] = raw.size - (n - 1) * psize
+        return data, sizes
+
+    def encode_batch(self, raw: np.ndarray):
+        return self.encode_fetch(self.encode_submit(raw))
 
     def decode_batch(self, packets: np.ndarray, raw_sizes: np.ndarray):
-        return self.codec.decode(packets, raw_sizes)
+        return self.decode_fetch(self.decode_submit(packets, raw_sizes))
+
+    # Async pipeline interface (pipeline.Compressor drive loops): the
+    # device runs batch N+1 while the host writes batch N.
+    def encode_submit(self, raw: np.ndarray):
+        data, sizes = self._packetize(raw)
+        if data is None:
+            return None
+        return self.codec.encode_async(data, sizes)
+
+    def encode_fetch(self, handle):
+        if handle is None:
+            return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
+        return self.codec.encode_wait(handle)
+
+    def decode_submit(self, packets: np.ndarray, raw_sizes: np.ndarray):
+        return self.codec.decode_async(packets, raw_sizes)
+
+    def decode_fetch(self, handle):
+        return self.codec.decode_wait(handle)

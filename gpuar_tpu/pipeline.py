@@ -50,6 +50,23 @@ class Compressor:
         """packets [p, COMPRESSED_PACKET_SIZE] -> raw [p, UNCOMPRESSED_PACKET_SIZE]."""
         raise NotImplementedError
 
+    # Split submit/fetch interface for copy/compute/IO overlap — the
+    # reference's rotating-stream pipeline (src/gpu_compressor.cpp:124-196).
+    # Device backends override these so batch N+1's device work runs while
+    # the host writes batch N's results; the default degrades to the
+    # synchronous calls above.
+    def encode_submit(self, raw: np.ndarray):
+        return self.encode_batch(raw)
+
+    def encode_fetch(self, handle):
+        return handle
+
+    def decode_submit(self, packets: np.ndarray, raw_sizes: np.ndarray):
+        return self.decode_batch(packets, raw_sizes)
+
+    def decode_fetch(self, handle):
+        return handle
+
     # --- drive loops --------------------------------------------------------
     def compress(self, src: str | Path, dst: str | Path,
                  monitor: ProgressMonitor | None = None) -> CompressionInfo:
@@ -67,20 +84,34 @@ class Compressor:
         info.compressed_file_size = container.HEADER_LENGTH
 
         try:
-            while True:
-                with io:
-                    chunk = fin.read(batch_bytes)
-                if not chunk:
-                    break
-                with process:
-                    raw = np.frombuffer(chunk, dtype=np.uint8)
-                    packets, lengths = self.encode_batch(raw)
-                with io:
-                    body = _splice(packets, lengths)
-                    fout.write(body)
-                info.compressed_file_size += len(body)
-                info.processed_uncompressed_size += len(chunk)
-                monitor.update(info)
+            # Overlapped fill/drain: batch N+1 is read and submitted before
+            # batch N's results are fetched and written, so device compute
+            # overlaps host I/O (the reference's stream pipeline,
+            # src/gpu_compressor.cpp:134-171).
+            pending = None  # (handle, chunk_len)
+            eof = False
+            while not eof or pending is not None:
+                handle = None
+                if not eof:
+                    with io:
+                        chunk = fin.read(batch_bytes)
+                    if chunk:
+                        with process:
+                            raw = np.frombuffer(chunk, dtype=np.uint8)
+                            handle = (self.encode_submit(raw), len(chunk))
+                    else:
+                        eof = True
+                if pending is not None:
+                    h, chunk_len = pending
+                    with process:
+                        packets, lengths = self.encode_fetch(h)
+                    with io:
+                        body = _splice(packets, lengths)
+                        fout.write(body)
+                    info.compressed_file_size += len(body)
+                    info.processed_uncompressed_size += chunk_len
+                    monitor.update(info)
+                pending = handle
 
             with io:
                 fout.seek(0)
@@ -116,20 +147,31 @@ class Compressor:
         with io:
             fout = open(dst, "wb")
         try:
-            while True:
-                with io:
-                    packets, raw_sizes = _read_packet_batch(
-                        fin, self.super_batch_packets
-                    )
-                if packets is None:
-                    break
-                with process:
-                    raw = self.decode_batch(packets, raw_sizes)
-                with io:
-                    for i in range(raw.shape[0]):
-                        fout.write(raw[i, : raw_sizes[i]].tobytes())
-                info.processed_uncompressed_size += int(raw_sizes.sum())
-                monitor.update(info)
+            pending = None  # (handle, raw_sizes)
+            eof = False
+            while not eof or pending is not None:
+                handle = None
+                if not eof:
+                    with io:
+                        packets, raw_sizes = _read_packet_batch(
+                            fin, self.super_batch_packets
+                        )
+                    if packets is not None:
+                        with process:
+                            handle = (self.decode_submit(packets, raw_sizes),
+                                      raw_sizes)
+                    else:
+                        eof = True
+                if pending is not None:
+                    h, sizes_n = pending
+                    with process:
+                        raw = self.decode_fetch(h)
+                    with io:
+                        for i in range(raw.shape[0]):
+                            fout.write(raw[i, : sizes_n[i]].tobytes())
+                    info.processed_uncompressed_size += int(sizes_n.sum())
+                    monitor.update(info)
+                pending = handle
         finally:
             fin.close()
             fout.close()

@@ -71,3 +71,41 @@ def repo_root():
     import os
 
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class _TracingBackend(HostCompressor):
+    """Records submit/fetch interleaving to verify the overlap schedule."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.events = []
+        self._n = 0
+
+    def encode_submit(self, raw):
+        self._n += 1
+        self.events.append(("submit", self._n))
+        return (self._n, self.encode_batch(raw))
+
+    def encode_fetch(self, handle):
+        k, result = handle
+        self.events.append(("fetch", k))
+        return result
+
+
+def test_compress_overlaps_batches(tmp_path, rng):
+    """The drive loop must submit batch N+1 before fetching batch N."""
+    data = rng.integers(0, 256, 6 * P, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    be = _TracingBackend(super_batch_packets=2)
+    gip = tmp_path / "c.gip"
+    be.compress(src, gip)
+
+    assert be.events == [
+        ("submit", 1), ("submit", 2), ("fetch", 1),
+        ("submit", 3), ("fetch", 2), ("fetch", 3),
+    ]
+    # And the file is identical to the plain synchronous pipeline's.
+    ref = tmp_path / "ref.gip"
+    HostCompressor(super_batch_packets=2).compress(src, ref)
+    assert gip.read_bytes() == ref.read_bytes()
