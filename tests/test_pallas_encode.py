@@ -80,3 +80,65 @@ def test_fixup_errors_replaces_flagged_lanes(rng):
     for i in (1, 3):
         assert np.array_equal(packets[i], before[i])
         assert lengths[i] == 0
+
+
+def _adversarial_underflow_packet(n=8192):
+    """Greedy adversary against the live coder state: each step picks a
+    symbol whose coded interval straddles the midpoint tightly, so the
+    pending-underflow run grows past the kernel's MAX_RUN_WORDS budget
+    (reaches ~133 consecutive pending bits)."""
+    U16 = 0xFFFF
+    C = np.arange(257, dtype=np.int64)
+    lower, upper, cum, under = 0, U16, 256, 0
+    syms = []
+    for _ in range(n):
+        span = upper - lower + 1
+        lo_all = lower + C[:-1] * span // cum
+        up_all = lower + C[1:] * span // cum - 1
+        ok = ((lo_all >= 0x4000) & (lo_all < 0x8000)
+              & (up_all >= 0x8000) & (up_all < 0xC000))
+        s = int(np.argmax(ok)) if ok.any() and under < 150 else 0
+        syms.append(s)
+        lo2, up2 = int(lo_all[s]) & U16, int(up_all[s]) & U16
+        C[s + 1:] += 1
+        cum += 1
+        while True:
+            if (lo2 ^ up2) & 0x8000 == 0:
+                under = 0
+                lo2 = (lo2 << 1) & U16
+                up2 = ((up2 << 1) | 1) & U16
+            elif (lo2 & 0x4000) and not (up2 & 0x4000):
+                under += 1
+                lo2 = (lo2 << 1) & 0x7FFF
+                up2 = (((up2 << 1) | 1) | 0x8000) & U16
+            else:
+                break
+        lower, upper = lo2, up2
+    return np.array(syms, np.uint8)
+
+
+def test_underflow_error_flag_and_fixup(rng):
+    """A >96-bit pending-underflow run must raise the kernel's error flag,
+    and encode_batch_pallas must transparently re-encode that lane with
+    the golden codec, keeping the whole batch bit-exact."""
+    import jax.numpy as jnp
+
+    data = np.zeros((8, 8192), np.uint8)
+    data[0] = _adversarial_underflow_packet()
+    data[1:] = rng.integers(0, 256, (7, 8192), np.uint8)
+    sizes = np.full(8, 8192, np.int32)
+
+    og, _ = pallas_encode.out_geometry(8192)
+    words = np.zeros((8, 2048), np.int32)
+    words[:] = data.view(np.int32)
+    sz = np.full((1, 8), 8192, np.int32)
+    _, _, errs = pallas_encode._encode_call(
+        jnp.asarray(words), jnp.asarray(sz),
+        tile=8, packet_size=8192, out_groups=og, interpret=True)
+    assert np.asarray(errs)[0, 0] == 1, "adversarial lane must flag"
+
+    pk, ln = pallas_encode.encode_batch_pallas(
+        data, sizes, tile=8, interpret=True)
+    for i in range(8):
+        exp = native.encode_packet(data[i].tobytes())
+        assert pk[i, : ln[i]].tobytes() == exp, f"lane {i} diverged"
