@@ -6,6 +6,9 @@ Findings feed the encode/decode kernel design:
     slices (unrolled word groups) or sublane-indexed layouts.
   * per-lane variable shifts may lower poorly -> compare against the f32
     exponent trick (x << m == x * 2^m built by bitcasting (m+127)<<23).
+
+NOTE: historical snapshot — probes the candidate primitives considered
+before the kernels existed; kept for the measurement record.
 """
 import time
 

@@ -2,6 +2,10 @@
 
 Each level adds one phase; deltas show where the time goes. Levels produce
 garbage output (except the full kernel) — this is a profiler, not a codec.
+
+NOTE: historical snapshot — phase-cost levels of an earlier kernel
+revision (pre windowed-dump/unroll); kept for the measurement record.
+Use iterbench.py/probe_model.py against the production kernels.
 """
 import functools
 import time

@@ -115,3 +115,26 @@ def test_cli_host_roundtrip(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert back.read_bytes() == src.read_bytes()
+
+
+def test_corrupted_container_never_crashes(tmp_path, rng):
+    """Random single-byte corruptions must either raise ContainerError or
+    decode to (possibly wrong) output — never crash or hang."""
+    src = tmp_path / "in.bin"
+    src.write_bytes(rng.integers(0, 256, 3 * 8192, np.uint8).tobytes())
+    gip = tmp_path / "c.gip"
+    comp = HostCompressor()
+    comp.compress(src, gip)
+    blob = bytearray(gip.read_bytes())
+
+    for trial in range(20):
+        pos = int(rng.integers(0, len(blob)))
+        orig = blob[pos]
+        blob[pos] = int(rng.integers(0, 256))
+        bad = tmp_path / "bad.gip"
+        bad.write_bytes(bytes(blob))
+        try:
+            comp.decompress(bad, tmp_path / "out.bin")
+        except container.ContainerError:
+            pass  # rejected cleanly
+        blob[pos] = orig
