@@ -86,8 +86,11 @@ def validate_packet_header(total: int, raw: int, max_raw: int) -> None:
         raise ContainerError(f"Incorrect file format: raw size {raw} exceeds packet size")
 
 
-def read_packets(stream: BinaryIO) -> Iterator[bytes]:
+def read_packets(stream: BinaryIO, max_raw: int | None = None) -> Iterator[bytes]:
     """Yield complete packets (header + bitstream) from a .gip body."""
+    from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
+
+    max_raw = UNCOMPRESSED_PACKET_SIZE if max_raw is None else max_raw
     while True:
         head = stream.read(PACKET_HEADER_LENGTH)
         if not head:
@@ -95,7 +98,7 @@ def read_packets(stream: BinaryIO) -> Iterator[bytes]:
         if len(head) < PACKET_HEADER_LENGTH:
             raise ContainerError("Incorrect file format: truncated packet header")
         total, raw = packet_sizes(head)
-        validate_packet_header(total, raw, max_raw=COMPRESSED_PACKET_SIZE)
+        validate_packet_header(total, raw, max_raw=max_raw)
         body = stream.read(total - PACKET_HEADER_LENGTH)
         if len(body) < total - PACKET_HEADER_LENGTH:
             raise ContainerError("Incorrect file format: truncated packet body")

@@ -104,14 +104,19 @@ def exclusive_scan(sizes: np.ndarray) -> np.ndarray:
 
 def walk_packet_index(stream, compressed_body_size: int,
                       block_size: int = 8 << 20) -> np.ndarray:
-    """Scan the packet headers of a .gip body and return packet byte offsets
-    (relative to the body start), plus a final sentinel offset.
+    """Scan the packet headers of a .gip body and return a [2, n+1] index:
+    row 0 = compressed byte offsets of each packet (relative to the body
+    start), row 1 = raw (decoded) byte offsets; both end with a sentinel
+    total.
 
+    Raw offsets come from the per-packet raw-size headers, so short
+    non-final packets (legal in the container) land at the right place.
     Reads the stream in large blocks and hops header-to-header; validates
     sizes as it goes (like the reference's header-then-body reads,
     src/gpu_compressor.cpp:299-310).
     """
     offsets = [0]
+    raw_offsets = [0]
     buf = b""
     buf_base = 0          # file offset of buf[0]
     pos = 0               # current packet offset
@@ -129,11 +134,12 @@ def walk_packet_index(stream, compressed_body_size: int,
         container.validate_packet_header(total, raw, UNCOMPRESSED_PACKET_SIZE)
         pos += total
         offsets.append(pos)
+        raw_offsets.append(raw_offsets[-1] + raw)
     if pos != compressed_body_size:
         raise container.ContainerError(
             "Incorrect file format: packet overruns the declared size"
         )
-    return np.asarray(offsets, dtype=np.int64)
+    return np.asarray([offsets, raw_offsets], dtype=np.int64)
 
 
 def partition_packets(n_packets: int, n_hosts: int) -> list[tuple[int, int]]:
@@ -185,13 +191,13 @@ def _indexed_once(body, body_size: int, rank: int, world: int) -> np.ndarray:
 
     if rank == 0:
         index = walk_packet_index(body, body_size)
-        n = np.asarray([len(index)], dtype=np.int64)
+        n = np.asarray([index.shape[1]], dtype=np.int64)
     else:
         index = None
         n = np.zeros(1, dtype=np.int64)
     n = int(multihost_utils.broadcast_one_to_all(n)[0])
     if index is None:
-        index = np.zeros(n, dtype=np.int64)
+        index = np.zeros((2, n), dtype=np.int64)
     return np.asarray(
         multihost_utils.broadcast_one_to_all(index), dtype=np.int64
     )
@@ -243,21 +249,33 @@ class DistributedCompressor:
                 fin.seek(start)
             todo = stop - start
             body_size = 0
-            while todo > 0:
-                with io:
-                    chunk = fin.read(min(batch, todo))
-                if not chunk:
-                    break
-                todo -= len(chunk)
-                with process:
-                    raw = np.frombuffer(chunk, dtype=np.uint8)
-                    packets, lengths = self.backend.encode_batch(raw)
-                    piece = _splice(packets, lengths)
-                with io:
-                    spool.write(piece)
-                body_size += len(piece)
-                local.processed_uncompressed_size += len(chunk)
-                monitor.update(local)
+            # Same submit-ahead overlap as the local drive loop: the
+            # devices run batch N+1 while this host spools batch N.
+            pending = None  # (handle, chunk_len)
+            while todo > 0 or pending is not None:
+                handle = None
+                if todo > 0:
+                    with io:
+                        chunk = fin.read(min(batch, todo))
+                    todo -= len(chunk)
+                    if chunk:
+                        with process:
+                            raw = np.frombuffer(chunk, dtype=np.uint8)
+                            handle = (self.backend.encode_submit(raw),
+                                      len(chunk))
+                    else:
+                        todo = 0
+                if pending is not None:
+                    h, chunk_len = pending
+                    with process:
+                        packets, lengths = self.backend.encode_fetch(h)
+                        piece = _splice(packets, lengths)
+                    with io:
+                        spool.write(piece)
+                    body_size += len(piece)
+                    local.processed_uncompressed_size += chunk_len
+                    monitor.update(local)
+                pending = handle
 
             # Metadata exchange: sizes -> offsets; ordered parallel splice.
             sizes = _allgather_sizes(body_size)
@@ -313,14 +331,20 @@ class DistributedCompressor:
             body = _BodyView(fin, container.HEADER_LENGTH)
             body_size = header.compressed_size - container.HEADER_LENGTH
             with io:
-                index = _indexed_once(body, body_size, rank, world)
+                full = _indexed_once(body, body_size, rank, world)
+            index, raw_index = full[0], full[1]
             n_packets = len(index) - 1
+            if int(raw_index[-1]) != header.uncompressed_size:
+                raise container.ContainerError(
+                    "Incorrect file format: packet raw sizes total "
+                    f"{int(raw_index[-1])}, header declares "
+                    f"{header.uncompressed_size}"
+                )
             first, last = partition_packets(n_packets, world)[rank]
-            # Rank-local progress is tracked in compressed bytes (the raw
-            # span of a compressed range is not knowable up front).
+            # Rank-local progress, tracked in raw bytes of this host's span.
             local = CompressionInfo()
             local.uncompressed_file_size = max(
-                int(index[last] - index[first]), 1)
+                int(raw_index[last] - raw_index[first]), 1)
 
             if rank == 0:
                 with io, open(dst, "wb") as f:
@@ -336,11 +360,13 @@ class DistributedCompressor:
                     with process:
                         raw = self.backend.decode_batch(packets, raw_sizes)
                     with io:
-                        fout.seek(lo * UNCOMPRESSED_PACKET_SIZE)
+                        # Raw offsets come from the walked index, so short
+                        # non-final packets land at the right place.
+                        fout.seek(int(raw_index[lo]))
                         for i in range(raw.shape[0]):
                             fout.write(raw[i, : raw_sizes[i]].tobytes())
                     local.processed_uncompressed_size += \
-                        int(index[hi] - index[lo])
+                        int(raw_index[hi] - raw_index[lo])
                     monitor.update(local)
         _barrier("raw-bodies-written")
         monitor.finish()

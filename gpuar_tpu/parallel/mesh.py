@@ -100,7 +100,7 @@ class MeshCodec:
         self.tile = tile
         self.packet_size = packet_size
         if interpret is None:
-            interpret = jax.devices()[0].platform == "cpu"
+            interpret = self.mesh.devices.flat[0].platform == "cpu"
         self.interpret = interpret
         enable_compilation_cache()
         self.out_groups, self.out_words = pallas_encode.out_geometry(packet_size)
@@ -159,7 +159,7 @@ class MeshCodec:
         n = packets.shape[0]
         n_pad = self._pad_lanes(n)
         packets32, _ = pallas_decode.pad_packets32(
-            _pad_rows(packets, n_pad), self.tile, self.out_words)
+            packets, self.lane_quantum, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = raw_sizes
         out = self.decode_device(jnp.asarray(packets32), jnp.asarray(sz))
@@ -174,10 +174,3 @@ class MeshCodec:
     def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
         return self.decode_wait(self.decode_async(packets, raw_sizes))
 
-
-def _pad_rows(arr: np.ndarray, n_pad: int) -> np.ndarray:
-    if arr.shape[0] == n_pad:
-        return arr
-    out = np.zeros((n_pad,) + arr.shape[1:], arr.dtype)
-    out[: arr.shape[0]] = arr
-    return out

@@ -176,6 +176,14 @@ class Compressor:
             fin.close()
             fout.close()
 
+        # A file truncated exactly at a packet boundary reads to a clean
+        # EOF; the header totals are the only way to catch it.
+        if info.processed_uncompressed_size != header.uncompressed_size:
+            raise container.ContainerError(
+                "Incorrect file format: decoded "
+                f"{info.processed_uncompressed_size} bytes, header declares "
+                f"{header.uncompressed_size} (truncated or corrupt file)"
+            )
         monitor.finish()
         info.process_time = process.total
         info.io_time = io.total

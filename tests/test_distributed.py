@@ -47,14 +47,15 @@ def test_partition_packets():
 
 
 def test_walk_packet_index_and_truncation(rng):
-    # Build a tiny body of 3 framed packets by hand.
+    # Build a tiny body of 3 framed packets by hand (raw sizes 10, 5, 100).
     bodies = [b"\x11" * 10, b"\x22" * 5, b"\x33" * 100]
     blob = b""
     for b in bodies:
         total = len(b) + 4
         blob += total.to_bytes(2, "little") + len(b).to_bytes(2, "little") + b
     idx = dist.walk_packet_index(io.BytesIO(blob), len(blob))
-    assert idx.tolist() == [0, 14, 23, 127]
+    assert idx[0].tolist() == [0, 14, 23, 127]       # compressed offsets
+    assert idx[1].tolist() == [0, 10, 15, 115]       # raw offsets
 
     with pytest.raises(container.ContainerError):
         dist.walk_packet_index(io.BytesIO(blob[:-1]), len(blob) + 3)

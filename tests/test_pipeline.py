@@ -109,3 +109,27 @@ def test_compress_overlaps_batches(tmp_path, rng):
     ref = tmp_path / "ref.gip"
     HostCompressor(super_batch_packets=2).compress(src, ref)
     assert gip.read_bytes() == ref.read_bytes()
+
+
+def test_decompress_rejects_packet_boundary_truncation(tmp_path, rng):
+    """A .gip cut exactly at a packet boundary reads to clean EOF; the
+    header totals must catch it (review finding)."""
+    src = tmp_path / "in.bin"
+    src.write_bytes(rng.integers(0, 256, 3 * P, np.uint8).tobytes())
+    gip = tmp_path / "c.gip"
+    comp = HostCompressor()
+    comp.compress(src, gip)
+
+    # Find the second packet boundary via the container walk.
+    from gpuar_tpu.parallel import distributed as dist
+
+    blob = gip.read_bytes()
+    idx = dist.walk_packet_index(
+        __import__("io").BytesIO(blob[container.HEADER_LENGTH:]),
+        len(blob) - container.HEADER_LENGTH)
+    cut = container.HEADER_LENGTH + int(idx[0][2])  # keep 2 of 3 packets
+    bad = tmp_path / "cut.gip"
+    bad.write_bytes(blob[:cut])
+
+    with pytest.raises(container.ContainerError):
+        comp.decompress(bad, tmp_path / "out.bin")
