@@ -35,7 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE
-from gpuar_tpu.ops.pallas_encode import CHUNK_WORDS, _exact_div, out_geometry
+from gpuar_tpu.ops.pallas_encode import _exact_div, out_geometry
+
+CHUNK_WORDS = 32   # output words per grid time-chunk (refill-window pacing)
 
 U16 = 0xFFFF
 UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (refill cadence)
