@@ -37,6 +37,10 @@ def main():
     rng = np.random.default_rng(0xBE7C)
     data = rng.integers(0, 256, (n_packets, psize), np.uint8)
     sizes = np.full(n_packets, psize, np.int32)
+    # Production parity: the pipeline entropy-sorts packets per batch
+    # (identity ordering on a homogeneous random corpus).
+    from gpuar_tpu.parallel.mesh import _entropy_order
+    data = data[_entropy_order(data)]
 
     # --- encode ---------------------------------------------------------
     wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))

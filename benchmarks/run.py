@@ -82,6 +82,11 @@ def bench_corpus(name: str, data: bytes, tile: int):
     if len(data) % psize:
         sizes[n - 1] = len(data) % psize
 
+    # Production parity: the pipeline entropy-sorts packets per batch.
+    from gpuar_tpu.parallel.mesh import _entropy_order
+    order = _entropy_order(raw)
+    raw, sizes = raw[order], sizes[order]
+
     wd = jnp.asarray(raw.view(np.int32))
     sz = jnp.asarray(sizes.reshape(1, -1))
 
@@ -121,7 +126,10 @@ def bench_corpus(name: str, data: bytes, tile: int):
     np.asarray(out[0:1, 0:1])
     t_dec = time.time() - t0
 
-    outh = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n_pad)
+    outh = np.ascontiguousarray(
+        np.asarray(out)).view(np.uint8)[inv, :psize]
     assert np.array_equal(outh[:n].reshape(-1)[: len(data)],
                           np.frombuffer(data, np.uint8)), f"{name}: round-trip"
 

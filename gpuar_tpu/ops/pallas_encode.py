@@ -147,7 +147,7 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     # Worst-case growth of a write front within one chunk: <= 16
     # bits/symbol = steps_per_chunk/16 rows, +3 rows ring/align slack.
     GROW = steps_per_chunk // 16 + 3
-    WIN = min((GROW + 79) & ~7, out_groups)
+    WIN = min((GROW + 39) & ~7, out_groups)
     wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
     wb0 = st[6:7, :]
     alive0 = (t_chunk * steps_per_chunk) < sizes
