@@ -79,8 +79,12 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
 
     @pl.when(t_chunk == 0)
     def _init():
+        # Index-packed model: row i holds C[i] << 8 | i (counts < 2**14,
+        # indices < 2**8 -> fits i32 and preserves order).  One max chain
+        # over the search mask then yields BOTH the range bound C[sym] and
+        # the symbol itself, eliminating a whole sum-reduction per step.
         C[:] = jnp.broadcast_to(
-            jnp.arange(256, dtype=i32)[:, None], (256, tile)
+            (jnp.arange(256, dtype=i32) * 257)[:, None], (256, tile)
         )
         refill_full(zeros)
         # initializeDecoder (src/gpuar_kernel.cu:582-603): code = first 16
@@ -139,13 +143,16 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
         unscaled = _exact_div((code - lower + 1) * cum - 1, span)
-        le = C[:] <= unscaled
-        cnt = jnp.sum(le.astype(i32), axis=0, keepdims=True) \
-            - 1 + (unscaled >= cum)
-        low = jnp.max(jnp.where(le, C[:], 0), axis=0, keepdims=True)
-        high = jnp.min(jnp.where(le, 0x7FFFFFFF, C[:]), axis=0, keepdims=True)
+        # Index-packed compare: Cp[i] <= (u<<8 | 255)  <=>  C[i] <= u.
+        up = (unscaled << 8) | 255
+        le = C[:] <= up
+        packed = jnp.max(jnp.where(le, C[:], -1), axis=0, keepdims=True)
+        low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
+        sym = packed & 255           # its index IS the decoded symbol
+        high = _shr_u(
+            jnp.min(jnp.where(le, 0x7FFFFFFF, C[:]), axis=0, keepdims=True),
+            8)
         high = jnp.minimum(high, cum)  # sym == 255: C[256] is implicit cum
-        sym = jnp.clip(cnt, 0, 255)
         sym = jnp.where(active, sym, 0)
         # low <= high <= cum holds for every lane (active or stale), so the
         # downstream range math cannot overflow; inactive lanes are masked
@@ -153,8 +160,8 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
 
         # Adaptive update (applySymbolRange tail, :286-288): i > sym is
         # exactly "not le" (C strictly increasing), so the search mask is
-        # reused and inactive lanes gate via a row-level increment.
-        inc = active.astype(i32)
+        # reused; the packed count increment is 1 << 8.
+        inc = active.astype(i32) << 8
         C[:] = C[:] + jnp.where(le, 0, inc)
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
