@@ -50,11 +50,14 @@ def main():
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(lens)  # warm / compile
 
-    t0 = time.time()
-    pk32, lens, errs = pallas_encode._encode_call(
-        wd, sz, tile=tile, packet_size=psize, out_groups=og)
-    lens_h = np.asarray(lens)
-    t_enc = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        pk32, lens, errs = pallas_encode._encode_call(
+            wd, sz, tile=tile, packet_size=psize, out_groups=og)
+        lens_h = np.asarray(lens)
+        ts.append(time.time() - t0)
+    t_enc = min(ts)
     assert not np.asarray(errs).any(), "encode error lanes on random corpus"
 
     # --- verify a sample of lanes bit-for-bit vs the golden codec --------
@@ -69,11 +72,14 @@ def main():
         bd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(out[0:1, 0:1])  # warm
 
-    t0 = time.time()
-    out = pallas_decode._decode_call(
-        bd, sz, tile=tile, packet_size=psize, out_groups=og)
-    np.asarray(out[0:1, 0:1])
-    t_dec = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = pallas_decode._decode_call(
+            bd, sz, tile=tile, packet_size=psize, out_groups=og)
+        np.asarray(out[0:1, 0:1])
+        ts.append(time.time() - t0)
+    t_dec = min(ts)
 
     raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
     assert np.array_equal(raw, data), "round-trip mismatch"

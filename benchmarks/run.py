@@ -96,10 +96,13 @@ def bench_corpus(name: str, data: bytes, tile: int):
 
     pk32, lens, errs = enc()
     np.asarray(lens)
-    t0 = time.time()
-    pk32, lens, errs = enc()
-    lens_h = np.asarray(lens)
-    t_enc = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        pk32, lens, errs = enc()
+        lens_h = np.asarray(lens)
+        ts.append(time.time() - t0)
+    t_enc = min(ts)
 
     # Fix any flagged lanes via the golden codec.
     packets = np.ascontiguousarray(np.asarray(pk32)).view(np.uint8).copy()
@@ -121,10 +124,13 @@ def bench_corpus(name: str, data: bytes, tile: int):
 
     out = dec()
     np.asarray(out[0:1, 0:1])
-    t0 = time.time()
-    out = dec()
-    np.asarray(out[0:1, 0:1])
-    t_dec = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = dec()
+        np.asarray(out[0:1, 0:1])
+        ts.append(time.time() - t0)
+    t_dec = min(ts)
 
     inv = np.empty_like(order)
     inv[order] = np.arange(n_pad)
