@@ -183,17 +183,15 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         acc, nbuf, wcur, err = state
         runbit = jnp.where(has, 1 - b0, 0)
 
-        # P1: the first settled bit.
-        acc, nbuf, w, f = _append(acc, nbuf, b0, has.astype(jnp.int32))
-        ring_write(w, wcur, f)
-        wcur = wcur + f
-
-        # P2a: run bits up to the current word edge only, so that any
-        # overflowing run continues word-aligned (r1 = 0 when the
-        # accumulator is empty — already aligned).
-        r1 = jnp.minimum(u_drain, (32 - nbuf) & 31)
+        # P1+P2a: the first settled bit, then run bits up to the current
+        # word edge only, so that any overflowing run continues
+        # word-aligned.  One merged append: r1 is sized so the combined
+        # count never exceeds the word boundary (newn <= 32 exactly at the
+        # edge — _append handles the full-word flush).
+        hasn = has.astype(jnp.int32)
+        r1 = jnp.minimum(u_drain, (32 - nbuf - hasn) & 31)
         rv = jnp.where(runbit > 0, (1 << r1) - 1, 0)
-        acc, nbuf, w, f = _append(acc, nbuf, rv, r1)
+        acc, nbuf, w, f = _append(acc, nbuf, (b0 << r1) | rv, hasn + r1)
         ring_write(w, wcur, f)
         wcur = wcur + f
         left = u_drain - r1
