@@ -80,3 +80,25 @@ def test_decoder_ignores_trailing_garbage(rng):
     enc = bytearray(golden.encode_packet(pkt))
     enc.extend(b"\xa5" * 8)  # garbage beyond the declared packet length
     assert golden.decode_packet(bytes(enc)) == pkt
+
+
+def test_property_random_roundtrips(rng):
+    """Property sweep: random sizes and content classes round-trip through
+    the native stream codec and match the NumPy golden spec encoder."""
+    from gpuar_tpu.ops import golden
+
+    for trial in range(30):
+        size = int(rng.integers(0, 3 * 8192 + 17))
+        kind = trial % 4
+        if kind == 0:
+            data = rng.integers(0, 256, size, np.uint8).tobytes()
+        elif kind == 1:
+            data = bytes(size)
+        elif kind == 2:
+            data = rng.integers(0, 3, size, np.uint8).tobytes()
+        else:
+            data = (b"abcdef" * (size // 6 + 1))[:size]
+        blob = native.encode_stream(np.frombuffer(data, np.uint8))
+        back = native.decode_stream(np.frombuffer(blob, np.uint8),
+                                    len(data))
+        assert back == data, f"trial {trial} size {size} kind {kind}"
