@@ -67,6 +67,9 @@ def load() -> ctypes.CDLL:
             lib.tg_decode_stream.argtypes = [
                 u8p, ctypes.c_long, u8p, ctypes.c_long]
             lib.tg_decode_stream.restype = ctypes.c_long
+            lib.tg_splice.argtypes = [
+                u8p, ctypes.c_long, i32p, ctypes.c_long, u8p, ctypes.c_long]
+            lib.tg_splice.restype = ctypes.c_long
             _LIB = lib
         return _LIB
 
@@ -152,4 +155,20 @@ def decode_stream(body: np.ndarray | bytes, out_cap: int) -> bytes:
         raise ValueError("Incorrect file format: malformed packet framing")
     if w == -2:
         raise ValueError("decode output overflow")
+    return out[:w].tobytes()
+
+
+def splice(rows: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Concatenate rows[i, :lengths[i]] — a native memcpy loop (numpy's
+    small-array concatenate costs ~0.5 s per 8192-row batch)."""
+    lib = load()
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    if rows.ndim != 2 or lengths.shape[0] != rows.shape[0]:
+        raise ValueError("rows [n, stride] and lengths [n] required")
+    out = np.empty(int(lengths.sum()), dtype=np.uint8)
+    w = lib.tg_splice(_u8p(rows), rows.shape[1], _i32p(lengths),
+                      rows.shape[0], _u8p(out), out.size)
+    if w < 0:
+        raise ValueError("splice: length exceeds row stride")
     return out[:w].tobytes()

@@ -210,6 +210,22 @@ long tg_encode_stream(const uint8_t* in, long total, int packet_size,
   return w;
 }
 
+// Splice variable-length rows out of a fixed-stride batch into one
+// contiguous buffer (the .gip body assembly).  numpy's small-array
+// concatenate costs ~0.5 s per 8192-packet batch; this is a memcpy loop.
+// Returns bytes written, or -1 on overflow / bad length.
+long tg_splice(const uint8_t* rows, long stride, const int* lengths,
+               long n, uint8_t* out, long out_cap) {
+  long w = 0;
+  for (long i = 0; i < n; ++i) {
+    const long len = lengths[i];
+    if (len < 0 || len > stride || w + len > out_cap) return -1;
+    std::memcpy(out + w, rows + i * stride, static_cast<size_t>(len));
+    w += len;
+  }
+  return w;
+}
+
 // Decode a back-to-back .gip packet body of `total` bytes.
 // Returns decoded length, or -1 on malformed framing / -2 on overflow.
 long tg_decode_stream(const uint8_t* in, long total, uint8_t* out,

@@ -359,12 +359,13 @@ class DistributedCompressor:
                         packets, raw_sizes = _load_packets(body, index, lo, hi)
                     with process:
                         raw = self.backend.decode_batch(packets, raw_sizes)
+                    with process:
+                        body = _splice(raw, raw_sizes)
                     with io:
                         # Raw offsets come from the walked index, so short
                         # non-final packets land at the right place.
                         fout.seek(int(raw_index[lo]))
-                        for i in range(raw.shape[0]):
-                            fout.write(raw[i, : raw_sizes[i]].tobytes())
+                        fout.write(body)
                     local.processed_uncompressed_size += \
                         int(raw_index[hi] - raw_index[lo])
                     monitor.update(local)

@@ -166,9 +166,9 @@ class Compressor:
                     h, sizes_n = pending
                     with process:
                         raw = self.decode_fetch(h)
+                        body = _splice(raw, sizes_n)
                     with io:
-                        for i in range(raw.shape[0]):
-                            fout.write(raw[i, : sizes_n[i]].tobytes())
+                        fout.write(body)
                     info.processed_uncompressed_size += int(sizes_n.sum())
                     monitor.update(info)
                 pending = handle
@@ -192,8 +192,9 @@ class Compressor:
 
 def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:
     """Concatenate variable-length packets from a fixed-stride batch."""
-    views = [packets[i, : lengths[i]] for i in range(packets.shape[0])]
-    return np.concatenate(views).tobytes() if views else b""
+    if packets.shape[0] == 0:
+        return b""
+    return native.splice(packets, lengths)
 
 
 def _read_packet_batch(fin, max_packets: int):
