@@ -53,6 +53,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def _pad_perm(order: np.ndarray, n_pad: int):
+    """Extend a permutation of [0, n) to [0, n_pad) (identity on the pad
+    lanes) and return (order, inverse), both int32."""
+    n = order.shape[0]
+    full = np.arange(n_pad, dtype=np.int32)
+    full[:n] = order
+    inv = np.empty_like(full)
+    inv[full] = np.arange(n_pad, dtype=np.int32)
+    return full, inv
+
+
 def _entropy_order(data: np.ndarray) -> np.ndarray:
     """Stable ordering of packets by a cheap compressibility proxy: the
     number of distinct byte values in a 256-byte sample of each packet.
@@ -119,10 +130,30 @@ class MeshCodec:
         self.out_groups, self.out_words = pallas_encode.out_geometry(packet_size)
         self.n_devices = self.mesh.devices.size
         self.lane_quantum = self.n_devices * tile
-        self._enc = _sharded_encode(
+        enc = _sharded_encode(
             self.mesh, tile, packet_size, self.out_groups, interpret)
-        self._dec = _sharded_decode(
+        dec = _sharded_decode(
             self.mesh, tile, packet_size, self.out_groups, interpret)
+
+        # The per-batch entropy sort/unsort permutations run on-device
+        # (XLA row gathers are bandwidth-trivial; the equivalent host
+        # fancy-index costs ~0.25 s per 64 MiB batch).
+        def enc_sorted(words, sizes, order, inv):
+            pk, lens, errs = enc(jnp.take(words, order, axis=0),
+                                 jnp.take(sizes, order, axis=1))
+            return (jnp.take(pk, inv, axis=0),
+                    jnp.take(lens, inv, axis=1),
+                    jnp.take(errs, inv, axis=1))
+
+        def dec_sorted(packets32, sizes, order, inv):
+            out = dec(jnp.take(packets32, order, axis=0),
+                      jnp.take(sizes, order, axis=1))
+            return jnp.take(out, inv, axis=0)
+
+        self._enc = enc
+        self._dec = dec
+        self._enc_sorted = jax.jit(enc_sorted)
+        self._dec_sorted = jax.jit(dec_sorted)
 
     def _pad_lanes(self, n: int) -> int:
         return -(-max(n, 1) // self.lane_quantum) * self.lane_quantum
@@ -148,24 +179,23 @@ class MeshCodec:
         rides the padding copy that happens anyway.
         """
         n = data.shape[0]
-        order = _entropy_order(data)
         n_pad = self._pad_lanes(n)
+        order, inv = _pad_perm(_entropy_order(data), n_pad)
         words = np.zeros((n_pad, self.packet_size // 4), np.int32)
-        words[:n] = np.ascontiguousarray(data).view(np.int32)[order]
+        words[:n] = np.ascontiguousarray(data).view(np.int32)
         sz = np.zeros((1, n_pad), np.int32)
-        sz[0, :n] = sizes[order]
-        dev = self.encode_device(jnp.asarray(words), jnp.asarray(sz))
-        return dev, data, sizes, n, order
+        sz[0, :n] = sizes
+        dev = self._enc_sorted(jnp.asarray(words), jnp.asarray(sz),
+                               jnp.asarray(order), jnp.asarray(inv))
+        return dev, data, sizes, n
 
     def encode_wait(self, handle):
-        (packets32, lens, errs), data, sizes, n, order = handle
-        inv = np.empty_like(order)
-        inv[order] = np.arange(n)
+        (packets32, lens, errs), data, sizes, n = handle
         packets = np.ascontiguousarray(
-            np.asarray(packets32))[:n].view(np.uint8)[inv]
-        lengths = np.asarray(lens)[0, :n][inv]
+            np.asarray(packets32)[:n]).view(np.uint8).copy()
+        lengths = np.asarray(lens)[0, :n].copy()
         pallas_encode.fixup_errors(
-            packets, lengths, np.asarray(errs)[0, :n][inv], data, sizes)
+            packets, lengths, np.asarray(errs)[0, :n], data, sizes)
         return packets, lengths
 
     def encode(self, data: np.ndarray, sizes: np.ndarray):
@@ -180,25 +210,25 @@ class MeshCodec:
     def decode_async(self, packets: np.ndarray, raw_sizes: np.ndarray):
         # Sort by compressed length (exact compressibility, free from the
         # packet headers) so each tile's cursor hull stays tight; unsorted
-        # on fetch.
+        # on-device before fetch.
         n = packets.shape[0]
+        n_pad = self._pad_lanes(n)
         comp_len = (packets[:, 0].astype(np.int32)
                     | (packets[:, 1].astype(np.int32) << 8))
-        order = np.argsort(comp_len, kind="stable")
-        n_pad = self._pad_lanes(n)
+        order, inv = _pad_perm(
+            np.argsort(comp_len, kind="stable"), n_pad)
         packets32, _ = pallas_decode.pad_packets32(
-            packets[order], self.lane_quantum, self.out_words)
+            packets, self.lane_quantum, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
-        sz[0, :n] = raw_sizes[order]
-        out = self.decode_device(jnp.asarray(packets32), jnp.asarray(sz))
-        return out, n, order
+        sz[0, :n] = raw_sizes
+        out = self._dec_sorted(jnp.asarray(packets32), jnp.asarray(sz),
+                               jnp.asarray(order), jnp.asarray(inv))
+        return out, n
 
     def decode_wait(self, handle) -> np.ndarray:
-        out, n, order = handle
-        inv = np.empty_like(order)
-        inv[order] = np.arange(n)
+        out, n = handle
         return np.ascontiguousarray(
-            np.asarray(out))[:n].view(np.uint8)[inv, : self.packet_size]
+            np.asarray(out)[:n]).view(np.uint8)[:, : self.packet_size]
 
     def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
         return self.decode_wait(self.decode_async(packets, raw_sizes))
