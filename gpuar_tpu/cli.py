@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="pod-slice mode: every process codes its file range "
                         "and splices at gathered offsets (shared filesystem)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted compression: complete "
+                        "packets already in the output are kept")
     p.add_argument("--nointeractive", action="store_true",
                    help="suppress progress output")
     p.add_argument("--json", action="store_true",
@@ -84,7 +87,8 @@ def main(argv=None) -> int:
         if args.mode == "c":
             if not args.json:
                 print(f"Start to compress {args.input} to {args.output}.")
-            info = compressor.compress(args.input, args.output, monitor)
+            info = compressor.compress(args.input, args.output, monitor,
+                                       resume=args.resume)
         else:
             if not args.json:
                 print(f"Start to decompress {args.input} to {args.output}.")

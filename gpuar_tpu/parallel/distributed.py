@@ -223,8 +223,14 @@ class DistributedCompressor:
         self.backend = backend
 
     def compress(self, src: str | Path, dst: str | Path,
-                 monitor: ProgressMonitor | None = None) -> CompressionInfo:
+                 monitor: ProgressMonitor | None = None,
+                 resume: bool = False) -> CompressionInfo:
         import tempfile
+
+        if resume:
+            raise ValueError(
+                "--resume is not supported with --multihost (the offsets of "
+                "every host's body change when any range is re-encoded)")
 
         rank, world = process_info()
         # Progress is reported rank-locally (against this host's range) and

@@ -69,19 +69,41 @@ class Compressor:
 
     # --- drive loops --------------------------------------------------------
     def compress(self, src: str | Path, dst: str | Path,
-                 monitor: ProgressMonitor | None = None) -> CompressionInfo:
+                 monitor: ProgressMonitor | None = None,
+                 resume: bool = False) -> CompressionInfo:
+        """Compress src into dst.
+
+        With ``resume=True`` an interrupted output is continued: packets
+        are appended in order, so a partial .gip is a valid prefix — the
+        existing complete packets are walked (validated) and the input is
+        re-seeked past the bytes they cover (SURVEY.md §5 checkpoint
+        bullet; the reference's append-ordered super-batch loop has the
+        same property but no way to use it).
+        """
         monitor = monitor or ProgressMonitor(enabled=False)
         monitor.reset()
         info = CompressionInfo()
         process, io = SplitTimer(), SplitTimer()
         batch_bytes = self.super_batch_packets * UNCOMPRESSED_PACKET_SIZE
 
+        done_raw = done_comp = 0
+        if resume and os.path.exists(dst):
+            with io:
+                done_raw, done_comp = _resume_point(dst)
+
         with io:
             info.uncompressed_file_size = os.path.getsize(src)
             fin = open(src, "rb")
-            fout = open(dst, "wb")
-            fout.write(b"\0" * container.HEADER_LENGTH)  # placeholder header
-        info.compressed_file_size = container.HEADER_LENGTH
+            if done_comp:
+                fout = open(dst, "r+b")
+                fout.truncate(container.HEADER_LENGTH + done_comp)
+                fout.seek(container.HEADER_LENGTH + done_comp)
+                fin.seek(done_raw)
+            else:
+                fout = open(dst, "wb")
+                fout.write(b"\0" * container.HEADER_LENGTH)
+        info.compressed_file_size = container.HEADER_LENGTH + done_comp
+        info.processed_uncompressed_size = done_raw
 
         try:
             # Overlapped fill/drain: batch N+1 is read and submitted before
@@ -188,6 +210,38 @@ class Compressor:
         info.process_time = process.total
         info.io_time = io.total
         return info
+
+
+def _resume_point(dst) -> tuple[int, int]:
+    """(raw bytes covered, compressed body bytes) of the complete full-size
+    packets at the head of an interrupted .gip output.
+
+    The walk stops at the first truncated or short-raw packet (a short raw
+    size only occurs at the file tail, so everything after it is either
+    done or garbage to overwrite).  The placeholder header is ignored — an
+    interrupted run never finalised it.
+    """
+    done_raw = done_comp = 0
+    with open(dst, "rb") as f:
+        f.seek(container.HEADER_LENGTH)
+        while True:
+            head = f.read(PACKET_HEADER_LENGTH)
+            if len(head) < PACKET_HEADER_LENGTH:
+                break
+            try:
+                total, raw = container.packet_sizes(head)
+                container.validate_packet_header(
+                    total, raw, UNCOMPRESSED_PACKET_SIZE)
+            except container.ContainerError:
+                break
+            if raw != UNCOMPRESSED_PACKET_SIZE:
+                break
+            body = f.read(total - PACKET_HEADER_LENGTH)
+            if len(body) < total - PACKET_HEADER_LENGTH:
+                break
+            done_comp += total
+            done_raw += raw
+    return done_raw, done_comp
 
 
 def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:

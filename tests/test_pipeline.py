@@ -133,3 +133,38 @@ def test_decompress_rejects_packet_boundary_truncation(tmp_path, rng):
 
     with pytest.raises(container.ContainerError):
         comp.decompress(bad, tmp_path / "out.bin")
+
+
+def test_resume_interrupted_compression(tmp_path, rng):
+    """An interrupted .gip continues from the last complete packet and
+    finishes byte-identical to an uninterrupted run."""
+    data = rng.integers(0, 256, 5 * P + 777, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    comp = HostCompressor(super_batch_packets=2)
+
+    ref = tmp_path / "ref.gip"
+    comp.compress(src, ref)
+    blob = ref.read_bytes()
+
+    from gpuar_tpu.pipeline import _resume_point
+
+    for cut_kind in ("mid_packet", "packet_boundary", "header_only"):
+        part = tmp_path / "part.gip"
+        if cut_kind == "mid_packet":
+            part.write_bytes(blob[: len(blob) * 2 // 3])
+        elif cut_kind == "packet_boundary":
+            done_raw, done_comp = _resume_point(ref)
+            assert done_raw == 5 * P  # all full packets, not the tail
+            part.write_bytes(blob[: container.HEADER_LENGTH + done_comp])
+        else:
+            part.write_bytes(b"\0" * container.HEADER_LENGTH)
+
+        info = comp.compress(src, part, resume=True)
+        assert part.read_bytes() == blob, cut_kind
+        assert info.compressed_file_size == len(blob)
+
+    # Resumed file must still round-trip.
+    back = tmp_path / "back.bin"
+    comp.decompress(ref, back)
+    assert back.read_bytes() == data
