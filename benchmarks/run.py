@@ -83,8 +83,8 @@ def bench_corpus(name: str, data: bytes, tile: int):
         sizes[n - 1] = len(data) % psize
 
     # Production parity: the pipeline entropy-sorts packets per batch.
-    from gpuar_tpu.parallel.mesh import _entropy_order
-    order = _entropy_order(raw)
+    from gpuar_tpu.parallel.mesh import _entropy_order, _pad_perm
+    order, inv = _pad_perm(_entropy_order(raw), n_pad)
     raw, sizes = raw[order], sizes[order]
 
     wd = jnp.asarray(raw.view(np.int32))
@@ -114,7 +114,7 @@ def bench_corpus(name: str, data: bytes, tile: int):
         exp = native.encode_packet(raw[i, : sizes[i]].tobytes())
         assert packets[i, : lens_v[i]].tobytes() == exp, f"{name}: lane {i}"
 
-    comp_bytes = int(lens_v[:n].sum())
+    comp_bytes = int(lens_v[inv][:n].sum())  # unsort before dropping pads
 
     bd = jnp.asarray(np.ascontiguousarray(packets).view(np.int32))
 
@@ -132,8 +132,6 @@ def bench_corpus(name: str, data: bytes, tile: int):
         ts.append(time.time() - t0)
     t_dec = min(ts)
 
-    inv = np.empty_like(order)
-    inv[order] = np.arange(n_pad)
     outh = np.ascontiguousarray(
         np.asarray(out)).view(np.uint8)[inv, :psize]
     assert np.array_equal(outh[:n].reshape(-1)[: len(data)],

@@ -18,9 +18,9 @@ communication backend"):
 
 Decompression mirrors it: packet boundaries are data-dependent, so rank 0
 header-walks the compressed stream once (a streaming pass over the body)
-to build the packet index and broadcasts it; packets are partitioned
-contiguously across hosts; every host decodes its span and writes at
-deterministic raw offsets (packet_index * UNCOMPRESSED_PACKET_SIZE).
+to build the packet index (compressed AND raw offsets, from the per-packet
+headers) and broadcasts it; packets are partitioned contiguously across
+hosts; every host decodes its span and writes at its walked raw offset.
 
 All collective plumbing is isolated behind ``_allgather_sizes`` so the
 range/offset/index math is pure and unit-testable without a pod
@@ -366,12 +366,12 @@ class DistributedCompressor:
                     with process:
                         raw = self.backend.decode_batch(packets, raw_sizes)
                     with process:
-                        body = _splice(raw, raw_sizes)
+                        piece = _splice(raw, raw_sizes)
                     with io:
                         # Raw offsets come from the walked index, so short
                         # non-final packets land at the right place.
                         fout.seek(int(raw_index[lo]))
-                        fout.write(body)
+                        fout.write(piece)
                     local.processed_uncompressed_size += \
                         int(raw_index[hi] - raw_index[lo])
                     monitor.update(local)

@@ -227,8 +227,11 @@ class MeshCodec:
 
     def decode_wait(self, handle) -> np.ndarray:
         out, n = handle
-        return np.ascontiguousarray(
+        raw = np.ascontiguousarray(
             np.asarray(out)[:n]).view(np.uint8)[:, : self.packet_size]
+        # A contiguous row slice is a view keeping the whole padded device
+        # result alive; copy small tails so the batch buffer is released.
+        return raw.copy() if 2 * n <= self._pad_lanes(n) else raw
 
     def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
         return self.decode_wait(self.decode_async(packets, raw_sizes))

@@ -89,7 +89,8 @@ class Compressor:
         done_raw = done_comp = 0
         if resume and os.path.exists(dst):
             with io:
-                done_raw, done_comp = _resume_point(dst)
+                done_raw, done_comp, last_packet = _resume_point(dst)
+                _check_resume_matches(src, done_raw, last_packet)
 
         with io:
             info.uncompressed_file_size = os.path.getsize(src)
@@ -222,6 +223,7 @@ def _resume_point(dst) -> tuple[int, int]:
     interrupted run never finalised it.
     """
     done_raw = done_comp = 0
+    last_packet = b""
     with open(dst, "rb") as f:
         f.seek(container.HEADER_LENGTH)
         while True:
@@ -241,7 +243,31 @@ def _resume_point(dst) -> tuple[int, int]:
                 break
             done_comp += total
             done_raw += raw
-    return done_raw, done_comp
+            last_packet = head + body
+    return done_raw, done_comp, last_packet
+
+
+def _check_resume_matches(src, done_raw: int, last_packet: bytes) -> None:
+    """Refuse to resume when src changed since the interrupted run: the
+    retained packets must still encode the current input.  Spot-checked by
+    re-encoding the last complete packet (any earlier divergence would
+    produce a corrupt archive that only fails at decompress time)."""
+    if done_raw == 0:
+        return
+    if done_raw > os.path.getsize(src):
+        raise container.ContainerError(
+            "Cannot resume: existing output covers more bytes than the "
+            "input file now has (input changed since the interrupted run)"
+        )
+    with open(src, "rb") as f:
+        f.seek(done_raw - UNCOMPRESSED_PACKET_SIZE)
+        tail = f.read(UNCOMPRESSED_PACKET_SIZE)
+    if native.encode_packet(tail) != last_packet:
+        raise container.ContainerError(
+            "Cannot resume: the input no longer matches the packets "
+            "already in the output (input changed since the interrupted "
+            "run); rerun without --resume"
+        )
 
 
 def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:

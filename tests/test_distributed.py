@@ -113,3 +113,18 @@ def test_distributed_multi_host_splice_math(tmp_path, rng):
     ref = tmp_path / "ref.gip"
     host.compress(src, ref)
     assert bytes(blob) == ref.read_bytes()
+
+
+def test_distributed_multi_batch_decompress(tmp_path, rng):
+    """Regression: a decode span larger than one super-batch must loop
+    (a variable-shadowing bug once crashed the second iteration)."""
+    data = rng.integers(0, 256, 5 * P + 11, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    d = dist.DistributedCompressor(
+        backend=HostCompressor(super_batch_packets=2))
+    gip = tmp_path / "c.gip"
+    d.compress(src, gip)
+    back = tmp_path / "back.bin"
+    d.decompress(gip, back)
+    assert back.read_bytes() == data

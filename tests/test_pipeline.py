@@ -154,7 +154,7 @@ def test_resume_interrupted_compression(tmp_path, rng):
         if cut_kind == "mid_packet":
             part.write_bytes(blob[: len(blob) * 2 // 3])
         elif cut_kind == "packet_boundary":
-            done_raw, done_comp = _resume_point(ref)
+            done_raw, done_comp, _ = _resume_point(ref)
             assert done_raw == 5 * P  # all full packets, not the tail
             part.write_bytes(blob[: container.HEADER_LENGTH + done_comp])
         else:
@@ -168,3 +168,24 @@ def test_resume_interrupted_compression(tmp_path, rng):
     back = tmp_path / "back.bin"
     comp.decompress(ref, back)
     assert back.read_bytes() == data
+
+
+def test_resume_refuses_changed_input(tmp_path, rng):
+    data = rng.integers(0, 256, 3 * P, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    comp = HostCompressor()
+    gip = tmp_path / "c.gip"
+    comp.compress(src, gip)
+    part = tmp_path / "part.gip"
+    part.write_bytes(gip.read_bytes()[:-10])  # interrupted
+
+    # Input mutated since the interrupted run: resume must refuse.
+    src.write_bytes(rng.integers(0, 256, 3 * P, np.uint8).tobytes())
+    with pytest.raises(container.ContainerError, match="no longer matches"):
+        comp.compress(src, part, resume=True)
+
+    # Input shrank below the resume point: refuse too.
+    src.write_bytes(data[: P // 2])
+    with pytest.raises(container.ContainerError, match="more bytes"):
+        comp.compress(src, part, resume=True)
