@@ -107,8 +107,13 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
 
     @pl.when(t_chunk == 0)
     def _init():
+        # Pair-packed model: row i holds C[i] | C[i+1] << 16 (counts stay
+        # < 2**14), so ONE one-hot extraction yields both range bounds and
+        # the implicit C[256] = cumprob needs no special case (row 255's
+        # high half is maintained by the update like any other).
+        base = jnp.arange(256, dtype=i32)
         C[:] = jnp.broadcast_to(
-            jnp.arange(256, dtype=i32)[:, None], (256, tile)
+            (base | ((base + 1) << 16))[:, None], (256, tile)
         )
         st[0:1, :] = zeros            # lower
         st[1:2, :] = zeros + U16      # upper
@@ -223,16 +228,20 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     def sym_step(t, sym, active, carry):
         lower, upper, under, acc, nbuf, wcur, wbase, err = carry
 
-        # Model query + update (applySymbolRange, src/gpuar_kernel.cu:256).
+        # Model query + update (applySymbolRange, src/gpuar_kernel.cu:256):
+        # one one-hot sum over the pair-packed table yields C[sym] (low
+        # half) and C[sym+1] (high half) together.
         cum = 256 + t  # uniform: every active lane has coded t symbols
-        low = jnp.sum(jnp.where(iota256 == sym, C[:], 0), axis=0, keepdims=True)
-        high = jnp.sum(
-            jnp.where(iota256 == sym + 1, C[:], 0), axis=0, keepdims=True
-        ) + jnp.where(sym == 255, cum, 0)
-        # Suffix increment; inactive lanes are excluded by a row-level
-        # sentinel instead of a per-element mask.
+        packed = jnp.sum(jnp.where(iota256 == sym, C[:], 0),
+                         axis=0, keepdims=True)
+        low = packed & U16
+        high = jax.lax.shift_right_logical(packed, 16)
+        # Suffix increment on both packed halves: low half C[i] += (i >
+        # sym), high half C[i+1] += (i+1 > sym) <=> (i >= sym); inactive
+        # lanes are excluded by a row-level sentinel.
         symA = jnp.where(active, sym, 256)
-        C[:] = C[:] + (iota256 > symA).astype(i32)
+        C[:] = C[:] + jnp.where(iota256 > symA, 0x10001,
+                                jnp.where(iota256 == symA, 0x10000, 0))
 
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
