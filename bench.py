@@ -24,7 +24,6 @@ BASELINE_GBPS = 1.0
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     from gpuar_tpu import native
     from gpuar_tpu.ops import pallas_encode, pallas_decode
