@@ -13,6 +13,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE as P
 from gpuar_tpu.pipeline import HostCompressor
@@ -42,7 +43,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_pod_slice(tmp_path, rng):
+@pytest.mark.parametrize("world", [2, 3])
+def test_pod_slice_processes(tmp_path, rng, world):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = rng.integers(0, 256, 9 * P + 321, np.uint8).tobytes()
     (tmp_path / "in.bin").write_bytes(data)
@@ -53,11 +55,11 @@ def test_two_process_pod_slice(tmp_path, rng):
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(r), "2", port,
+            [sys.executable, str(worker), str(r), str(world), port,
              str(tmp_path), repo],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for r in range(2)
+        for r in range(world)
     ]
     for p in procs:
         out, _ = p.communicate(timeout=240)
