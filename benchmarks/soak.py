@@ -28,8 +28,7 @@ def make_corpus(rng, size):
             parts.append((b"The quick brown fox jumps over the lazy dog. "
                           * (n // 46 + 1))[:n])
         elif kind == 3:
-            parts.append(rng.integers(0, 4, n, np.uint8).astype(
-                np.uint8).tobytes())
+            parts.append(rng.integers(0, 4, n, np.uint8).tobytes())
         else:
             parts.append(bytes([int(rng.integers(0, 256))]) * n)
         left -= n
@@ -82,8 +81,7 @@ def main():
             if tpu is not None:
                 gt = os.path.join(td, "t.gip")
                 tpu.compress(src, gt)
-                assert open(gt, "rb").read() == open(gh, "rb").read(), \
-                    f"iter {it}: TPU/host .gip mismatch"
+                assert md5(gt) == md5(gh), f"iter {it}: TPU/host .gip mismatch"
                 out2 = os.path.join(td, "t.out")
                 tpu.decompress(gh, out2)
                 assert md5(out2) == ref, f"iter {it}: TPU decode of host file"

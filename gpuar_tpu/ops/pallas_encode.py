@@ -10,10 +10,11 @@ bitstreams, completely different machine mapping (SURVEY.md §7.1).
 Layouts and design rules (from measured Mosaic behaviour — see
 benchmarks/probe_layouts.py and benchmarks/profile_encode.py):
 
-  * model C [256, TILE] i32 in VMEM scratch: C[i, p] = cumulative count of
-    symbols < i in lane p (entry 256 is implicitly cumprob = the uniform
-    scalar 256 + t).  Range queries are one-hot masked column sums; the
-    adaptive update is a masked suffix increment.
+  * model C [256, TILE] i32 in VMEM scratch, pair-packed: row i of lane p
+    holds C[i] | C[i+1] << 16 where C[i] = cumulative count of symbols < i
+    (counts stay < 2**14; C[256] = cumprob lives in row 255's high half).
+    One one-hot masked column sum yields both range bounds; the adaptive
+    update is a masked suffix increment on both packed halves.
   * input: raw bytes packed LE into u32 words, laid [words, lanes] in HBM;
     the grid's second dimension streams CHUNK_WORDS-row time-chunks through
     VMEM (uniform dynamic sublane row loads are cheap).

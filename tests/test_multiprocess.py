@@ -38,6 +38,8 @@ _WORKER = textwrap.dedent("""
 
 
 def _free_port() -> int:
+    # Racy by nature (the port is released before the coordinator binds
+    # it); an ephemeral port keeps collisions unlikely under test churn.
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
@@ -61,9 +63,14 @@ def test_pod_slice_processes(tmp_path, rng, world):
             text=True)
         for r in range(world)
     ]
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        assert p.returncode == 0, out[-2000:]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     assert (tmp_path / "back.bin").read_bytes() == data
 

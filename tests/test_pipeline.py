@@ -211,7 +211,5 @@ def test_device_flag_validation(tmp_path, rng, repo_root):
 
     t = TPUCompressor(device_index=0)
     assert t.codec.n_devices == 1
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         TPUCompressor(device_index=99)
