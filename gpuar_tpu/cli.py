@@ -79,7 +79,14 @@ def make_compressor(args):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # Silent flag interactions would let a user believe a pod-slice or
+    # resumable run happened when it did not: reject them up front.
+    if args.host and args.multihost:
+        parser.error("--host and --multihost are mutually exclusive")
+    if args.resume and args.mode == "d":
+        parser.error("--resume only applies to compression (mode 'c')")
     monitor = ProgressMonitor(enabled=not args.nointeractive and not args.json)
     compressor = make_compressor(args)
 

@@ -158,6 +158,25 @@ def partition_packets(n_packets: int, n_hosts: int) -> list[tuple[int, int]]:
 # Collective metadata exchange
 # --------------------------------------------------------------------------
 
+def _split_u32(values: np.ndarray) -> np.ndarray:
+    """int64 array -> stacked [2, ...] uint32 (high, low) halves.
+
+    JAX canonicalizes int64 collectives to int32 unless jax_enable_x64 is
+    set (which this library never forces on the host program), silently
+    wrapping pod-scale byte offsets; 32-bit payloads pass through
+    untouched, so every int64 crosses the collectives as two u32 halves.
+    """
+    v = np.asarray(values, dtype=np.int64)
+    return np.stack([(v >> 32).astype(np.uint32),
+                     (v & 0xFFFFFFFF).astype(np.uint32)])
+
+
+def _join_u32(halves: np.ndarray) -> np.ndarray:
+    """Inverse of _split_u32."""
+    h = np.asarray(halves)
+    return (h[0].astype(np.int64) << 32) | h[1].astype(np.int64)
+
+
 def _allgather_sizes(local_size: int) -> np.ndarray:
     """All-gather one int64 per host (identity on a single process)."""
     import jax
@@ -166,10 +185,13 @@ def _allgather_sizes(local_size: int) -> np.ndarray:
         return np.asarray([local_size], dtype=np.int64)
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(
-        np.asarray([local_size], dtype=np.int64)
-    )
-    return np.asarray(gathered, dtype=np.int64).reshape(-1)
+    gathered = multihost_utils.process_allgather(_split_u32([local_size]))
+    sizes = _join_u32(np.moveaxis(np.asarray(gathered), 1, 0)).reshape(-1)
+    if sizes[jax.process_index()] != local_size:
+        raise RuntimeError(
+            "all-gather round-trip mismatch: "
+            f"{sizes[jax.process_index()]} != {local_size}")
+    return sizes
 
 
 def _barrier(name: str) -> None:
@@ -191,16 +213,20 @@ def _indexed_once(body, body_size: int, rank: int, world: int) -> np.ndarray:
 
     if rank == 0:
         index = walk_packet_index(body, body_size)
-        n = np.asarray([index.shape[1]], dtype=np.int64)
+        n = np.asarray([index.shape[1]], dtype=np.int32)
     else:
         index = None
-        n = np.zeros(1, dtype=np.int64)
+        n = np.zeros(1, dtype=np.int32)
     n = int(multihost_utils.broadcast_one_to_all(n)[0])
     if index is None:
         index = np.zeros((2, n), dtype=np.int64)
-    return np.asarray(
-        multihost_utils.broadcast_one_to_all(index), dtype=np.int64
-    )
+    # Offsets of multi-GiB archives exceed int32: cross as u32 halves
+    # (see _split_u32).
+    out = _join_u32(np.asarray(
+        multihost_utils.broadcast_one_to_all(_split_u32(index))))
+    if rank == 0 and not np.array_equal(out, index):
+        raise RuntimeError("packet-index broadcast round-trip mismatch")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -406,6 +432,13 @@ def _load_packets(body: "_BodyView", index: np.ndarray, lo: int, hi: int):
     raw_sizes = np.zeros(n, np.int32)
     body.seek(int(index[lo]))
     blob = body.read(int(index[hi] - index[lo]))
+    if len(blob) < int(index[hi] - index[lo]):
+        # The index walk validates headers only (it hops header-to-header
+        # without reading bodies), so a body cut off mid-packet is first
+        # seen here.
+        raise container.ContainerError(
+            "Incorrect file format: truncated packet body"
+        )
     for i in range(n):
         a = int(index[lo + i] - index[lo])
         b = int(index[lo + i + 1] - index[lo])

@@ -226,6 +226,12 @@ class MeshCodec:
         return out, n
 
     def decode_wait(self, handle) -> np.ndarray:
+        """Materialise a decode_async handle.
+
+        The result may be a READ-ONLY view of the device buffer (the
+        zero-copy fast path for full batches); callers that need to
+        mutate the decoded bytes must ``.copy()`` it themselves.
+        """
         out, n = handle
         raw = np.ascontiguousarray(
             np.asarray(out)[:n]).view(np.uint8)[:, : self.packet_size]
@@ -234,5 +240,7 @@ class MeshCodec:
         return raw.copy() if 2 * n <= self._pad_lanes(n) else raw
 
     def decode(self, packets: np.ndarray, raw_sizes: np.ndarray) -> np.ndarray:
+        """Padded raw packets (possibly a READ-ONLY view — see
+        decode_wait)."""
         return self.decode_wait(self.decode_async(packets, raw_sizes))
 

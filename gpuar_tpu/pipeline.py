@@ -213,9 +213,11 @@ class Compressor:
         return info
 
 
-def _resume_point(dst) -> tuple[int, int]:
-    """(raw bytes covered, compressed body bytes) of the complete full-size
-    packets at the head of an interrupted .gip output.
+def _resume_point(dst) -> tuple[int, int, bytes]:
+    """(raw bytes covered, compressed body bytes, last complete packet) of
+    the complete full-size packets at the head of an interrupted .gip
+    output; the last packet is re-encoded by _check_resume_matches to
+    verify the input hasn't changed.
 
     The walk stops at the first truncated or short-raw packet (a short raw
     size only occurs at the file tail, so everything after it is either

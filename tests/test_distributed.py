@@ -46,6 +46,33 @@ def test_partition_packets():
     assert dist.partition_packets(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
 
 
+def test_u32_halves_roundtrip_beyond_int32():
+    # The collectives canonicalize int64 -> int32 (jax_enable_x64 is never
+    # forced), so pod-scale sizes/offsets cross as u32 halves; the split
+    # must round-trip values far beyond 2**31.
+    vals = np.asarray([0, 1, 2**31 - 1, 2**31, 2**35 + 7, 2**62 + 12345],
+                      dtype=np.int64)
+    assert np.array_equal(dist._join_u32(dist._split_u32(vals)), vals)
+    idx = np.asarray([[0, 2**33, 2**34 + 5], [0, 2**35, 2**36 + 9]],
+                     dtype=np.int64)
+    assert np.array_equal(dist._join_u32(dist._split_u32(idx)), idx)
+
+
+def test_load_packets_truncated_body():
+    # walk_packet_index validates headers only; a body cut off mid-packet
+    # must surface as a clean ContainerError from _load_packets, matching
+    # the single-host path for the same file.
+    bodies = [b"\x11" * 10, b"\x22" * 5]
+    blob = b""
+    for b in bodies:
+        total = len(b) + 4
+        blob += total.to_bytes(2, "little") + len(b).to_bytes(2, "little") + b
+    idx = dist.walk_packet_index(io.BytesIO(blob), len(blob))
+    cut = dist._BodyView(io.BytesIO(blob[:-3]), 0)
+    with pytest.raises(container.ContainerError, match="truncated packet"):
+        dist._load_packets(cut, idx[0], 0, 2)
+
+
 def test_walk_packet_index_and_truncation(rng):
     # Build a tiny body of 3 framed packets by hand (raw sizes 10, 5, 100).
     bodies = [b"\x11" * 10, b"\x22" * 5, b"\x33" * 100]

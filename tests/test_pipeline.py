@@ -46,6 +46,21 @@ def test_cli_rejects_non_gip(tmp_path, repo_root):
     assert "unsupported version" in r.stderr
 
 
+def test_cli_rejects_conflicting_flags(tmp_path, repo_root):
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"x" * 100)
+    # --host with --multihost: neither silently wins.
+    r = _cli(["c", f"--in={src}", f"--out={tmp_path/'x.gip'}",
+              "--host", "--multihost", "--nointeractive"], repo_root)
+    assert r.returncode == 2
+    assert "mutually exclusive" in r.stderr
+    # --resume in decompress mode is meaningless, not ignored.
+    r = _cli(["d", f"--in={src}", f"--out={tmp_path/'x.bin'}",
+              "--host", "--resume", "--nointeractive"], repo_root)
+    assert r.returncode == 2
+    assert "--resume" in r.stderr
+
+
 def test_cli_missing_input(tmp_path, repo_root):
     r = _cli(["c", f"--in={tmp_path/'nope.bin'}",
               f"--out={tmp_path/'x.gip'}", "--host", "--nointeractive"],
