@@ -1,0 +1,3 @@
+// Empty stand-in: the vendored NVIDIA SDK error helpers are not needed
+// by the reference codec functions compiled as the host-only test oracle.
+#pragma once
