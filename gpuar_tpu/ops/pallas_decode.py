@@ -5,23 +5,31 @@ src/gpuar_kernel.cu garDecompress :916-934 / arDecompress :848-892).  Same
 layouts: model C [256, TILE] with one-hot search/queries, packets in the
 big2d [groups, 8*TILE] word layout.
 
-Measured design rules (benchmarks/probe_model.py, iterbench.py):
+Measured design rules (benchmarks/probe_model.py, iterbench.py,
+probe_decode_r2.py):
 
   * the scalar loop costs ~470 ns/iteration regardless of body, so
     UNROLL_WORDS words are decoded per iteration;
   * the per-lane bit cursor advances at most 16 bits/symbol, so an 8-word
-    lookahead ring refilled every 2 words (8 symbols) is always safe —
-    no data-dependent refill condition (a jnp.any() sync) is needed:
-    after a refill at cursor word w the next 8 symbols consume <= 4
-    words, keeping [cursor, cursor+1] inside [w, w+8);
+    lookahead ring refilled every REFILL_WORDS=2 words is always safe —
+    no data-dependent refill condition (a jnp.any() sync) is needed;
   * the refill gather normally scans only a WIN-row window around the
     scalar hull of the per-lane cursors (computed once per chunk);
     divergent batches fall back to the full-range scan;
   * the decoded-byte store row is uniform per word, so a dynamic
     single-row store replaces a masked full-column pass;
   * the symbol search is fused with the range query: C is strictly
-    increasing, so one pass yields cnt (the symbol), low = max{C <=
-    unscaled} and high = min{C > unscaled}.
+    increasing, so one pass yields sym, low = max{C <= unscaled} and
+    high = min{C > unscaled};
+  * STREAMS: ablation timing (round 2) showed the per-symbol scalar
+    chain (renorm + exact-div, ~150 dependent [1,TILE] ops) is LATENCY
+    bound — with every table/window stage removed the kernel still ran
+    at only ~2x full speed.  The tile is therefore split into STREAMS
+    independent column slices with separate coder carries, interleaved
+    per symbol, so one stream's dependency stalls hide under the
+    others' work (and under the table passes);
+  * an int16 table would halve table-pass traffic but the v5e VPU lowers
+    neither 16-bit reductions nor 16-bit ordered compares (measured).
 """
 
 from __future__ import annotations
@@ -40,13 +48,19 @@ from gpuar_tpu.ops.pallas_encode import _exact_div, out_geometry
 CHUNK_WORDS = 32   # output words per grid time-chunk (refill-window pacing)
 
 U16 = 0xFFFF
-UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (refill cadence)
-# Ring-coverage bound: one refill serves unroll*4 symbols consuming at most
-# unroll*2 words, and [cursor, cursor+1] must stay inside the 8-word ring.
-assert UNROLL_WORDS * 2 + 1 < 8
+STREAMS = 2        # independent interleaved lane-slices per kernel
+UNROLL_WORDS = 4   # words decoded per scalar-loop iteration
+REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
+# symbols consuming at most REFILL_WORDS*2 words; with the +2-word carry
+# window everything must stay inside the 8-word ring.
+assert REFILL_WORDS * 2 + 2 < 8 + 1
+WIN_PAD = 15       # refill hull-window padding rows (see refill_win);
+                   # swept 39/23/15 on-chip: 15 wins (tighter window =
+                   # cheaper masked refill, fallback check keeps it safe)
 # The word loop runs (chunk_words / unroll) iterations; a non-divisor would
 # silently drop the tail words of every chunk.
 assert CHUNK_WORDS % UNROLL_WORDS == 0
+assert UNROLL_WORDS % REFILL_WORDS == 0
 
 
 def _clz16(x):
@@ -57,23 +71,32 @@ def _shr_u(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
-                   tile, steps_per_chunk, n_chunks, out_groups, unroll):
+def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
+                   tile, steps_per_chunk, n_chunks, out_groups, unroll,
+                   streams):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
-    iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
-    iota8 = jax.lax.broadcasted_iota(i32, (8, tile), 0)
-    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
-    zeros = jnp.zeros((1, tile), i32)
+    w = tile // streams  # lanes per stream slice
+    # Per-stream table/ring scratch buffers: SEPARATE buffers (not column
+    # slices of one) so Mosaic sees the streams' loads/stores as disjoint
+    # and can interleave their dependency chains freely.
+    Cs_all = scratch[:streams]
+    rings = scratch[streams:]
+    iota256 = jax.lax.broadcasted_iota(i32, (256, w), 0)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, w), 0)
+    grows = jax.lax.broadcasted_iota(i32, (out_groups, w), 0)
+    zeros = jnp.zeros((1, w), i32)
+    los = [s * w for s in range(streams)]
 
-    def refill_full(rb):
+    def refill_full(s, rb):
         """Load per-lane words [rb, rb+8) into the ring (slot = word & 7):
         one masked column-sum per slot over the full group range."""
+        lo = los[s]
         for j in range(8):
-            colj = in_ref[:, j * tile: (j + 1) * tile]   # word g*8+j
+            colj = in_ref[:, j * tile + lo: j * tile + lo + w]
             wj = grows * 8 + j
             inr = (wj >= rb) & (wj < rb + 8)
-            ring[j: j + 1, :] = jnp.sum(
+            rings[s][j: j + 1, :] = jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
             )
 
@@ -83,27 +106,31 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         # indices < 2**8 -> fits i32 and preserves order).  One max chain
         # over the search mask then yields BOTH the range bound C[sym] and
         # the symbol itself, eliminating a whole sum-reduction per step.
-        C[:] = jnp.broadcast_to(
-            (jnp.arange(256, dtype=i32) * 257)[:, None], (256, tile)
-        )
-        refill_full(zeros)
-        # initializeDecoder (src/gpuar_kernel.cu:582-603): code = first 16
-        # stream bits; the stream starts after the 4-byte header (word 1).
-        w1 = jnp.sum(jnp.where(iota8 == 1, ring[:], 0), axis=0, keepdims=True)
-        st[0:1, :] = zeros            # lower
-        st[1:2, :] = zeros + U16      # upper
-        st[2:3, :] = _shr_u(w1, 16)   # code
-        st[3:4, :] = zeros + 48       # bitpos (word 0 skipped + 16 bits)
+        for s, lo in enumerate(los):
+            Cs_all[s][:] = jnp.broadcast_to(
+                (jnp.arange(256, dtype=i32) * 257)[:, None], (256, w)
+            )
+            refill_full(s, zeros)
+            # initializeDecoder (src/gpuar_kernel.cu:582-603): code = the
+            # first 16 stream bits; the stream starts after the 4-byte
+            # header (word 1).
+            w1 = jnp.sum(
+                jnp.where(iota8 == 1, rings[s][:], 0),
+                axis=0, keepdims=True)
+            st[0:1, lo: lo + w] = zeros            # lower
+            st[1:2, lo: lo + w] = zeros + U16      # upper
+            st[2:3, lo: lo + w] = _shr_u(w1, 16)   # code
+            st[3:4, lo: lo + w] = zeros + 48       # bitpos (word 0 + 16)
 
     raw_sizes = sizes_ref[:]
 
     # Windowed refill (see encode's windowed dump): scalar hull of the
-    # per-lane cursor rows, taken once per chunk.  Worst-case cursor growth
-    # within one chunk: <= 16 bits/symbol = steps_per_chunk/16 rows, +3
-    # rows of ring lookahead / alignment slack.
+    # per-lane cursor rows, taken once per chunk over ALL streams.
+    # Worst-case cursor growth within one chunk: <= 16 bits/symbol =
+    # steps_per_chunk/16 rows, +3 rows of ring lookahead/alignment slack.
     GROW = steps_per_chunk // 16 + 3
-    WIN = min((GROW + 39) & ~7, out_groups)
-    wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
+    WIN = min((GROW + WIN_PAD) & ~7, out_groups)
+    wrows = jax.lax.broadcasted_iota(i32, (WIN, w), 0)
     alive0 = (t_chunk * steps_per_chunk) < raw_sizes
     rows0 = st[3:4, :] >> 8          # bitpos -> word -> group row
     klo = jnp.min(jnp.where(alive0, rows0, jnp.int32(1 << 20)))
@@ -112,28 +139,30 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
     klo = pl.multiple_of(klo, 8)
     fast = (khi + GROW) <= (klo + WIN)
 
-    def refill_win(rb):
+    def refill_win(s, rb):
+        lo = los[s]
         for j in range(8):
-            colj = in_ref[pl.ds(klo, WIN), j * tile: (j + 1) * tile]
+            colj = in_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w]
             wj = (klo + wrows) * 8 + j
             inr = (wj >= rb) & (wj < rb + 8)
-            ring[j: j + 1, :] = jnp.sum(
+            rings[s][j: j + 1, :] = jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
             )
 
-    def refill(rb):
+    def refill(s, rb):
         @pl.when(fast)
         def _():
-            refill_win(rb)
+            refill_win(s, rb)
 
         @pl.when(jnp.logical_not(fast))
         def _():
-            refill_full(rb)
+            refill_full(s, rb)
 
-    def sym_step(t, carry):
-        lower, upper, code, bitpos, wacc = carry
-        active = t < raw_sizes
+    def sym_step(si, sizes_s, t, carry):
+        lower, upper, code, bitpos, w0, w1, wacc = carry
+        active = t < sizes_s
         cum = 256 + t
+        Cs = Cs_all[si][:]
 
         # Symbol search (getUnscaledCode + getSymbolFromProbability,
         # :703-763) fused with the range query: C is strictly increasing,
@@ -143,14 +172,14 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
         unscaled = _exact_div((code - lower + 1) * cum - 1, span)
-        # Index-packed compare: Cp[i] <= (u<<8 | 255)  <=>  C[i] <= u.
+        # Index-packed compare: Cp[i] <= (u<<8 | 255) <=> C[i] <= u.
         up = (unscaled << 8) | 255
-        le = C[:] <= up
-        packed = jnp.max(jnp.where(le, C[:], -1), axis=0, keepdims=True)
+        le = Cs <= up
+        packed = jnp.max(jnp.where(le, Cs, -1), axis=0, keepdims=True)
         low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
         sym = packed & 255           # its index IS the decoded symbol
         high = _shr_u(
-            jnp.min(jnp.where(le, 0x7FFFFFFF, C[:]), axis=0, keepdims=True),
+            jnp.min(jnp.where(le, 0x7FFFFFFF, Cs), axis=0, keepdims=True),
             8)
         high = jnp.minimum(high, cum)  # sym == 255: C[256] is implicit cum
         sym = jnp.where(active, sym, 0)
@@ -162,7 +191,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         # exactly "not le" (C strictly increasing), so the search mask is
         # reused; the packed count increment is 1 << 8.
         inc = active.astype(i32) << 8
-        C[:] = C[:] + jnp.where(le, 0, inc)
+        Cs_all[si][:] = Cs + jnp.where(le, 0, inc)
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16
@@ -178,52 +207,80 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, C, st, ring, *,
         up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
         s = jnp.where(active, m + k, 0)
 
-        # Read two window words via sublane one-hots, extract s bits.
-        widx = bitpos >> 5
-        sel0 = (iota8 == (widx & 7)).astype(i32)
-        sel1 = (iota8 == ((widx + 1) & 7)).astype(i32)
-        w0 = jnp.sum(ring[:] * sel0, axis=0, keepdims=True)
-        w1 = jnp.sum(ring[:] * sel1, axis=0, keepdims=True)
+        # Extract s bits from the CARRIED two-word window [widx, widx+2)
+        # (the per-symbol cursor advances <= 16 bits, so the window slides
+        # by at most one word per step: one one-hot ring fetch of the
+        # incoming word replaces two full window reads).
         boff = bitpos & 31
         win = (w0 << boff) | jnp.where(
             boff > 0, _shr_u(w1, (32 - boff) & 31), 0
         )
         bits = jnp.where(s > 0, _shr_u(win, (32 - s) & 31), 0)
         code2 = (((code << s) | bits) ^ jnp.where(k >= 1, 0x8000, 0)) & U16
+        widx = bitpos >> 5
         bitpos = bitpos + s
+        adv = (bitpos >> 5) > widx
+        nxt = jnp.sum(
+            rings[si][:] * (iota8 == ((widx + 2) & 7)).astype(i32),
+            axis=0, keepdims=True)
+        w0 = jnp.where(adv, w1, w0)
+        w1 = jnp.where(adv, nxt, w1)
 
         wacc = wacc | (sym << ((t & 3) * 8))
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         code = jnp.where(active, code2, code)
-        return (lower, upper, code, bitpos, wacc)
+        return (lower, upper, code, bitpos, w0, w1, wacc)
 
-    def step(it, carry):
-        lower, upper, code, bitpos, _ = carry
-        # Fixed-cadence refill: [cursor, cursor+8) covers the next
-        # UNROLL_WORDS * 4 symbols (<= 16 bits each).
-        refill(bitpos >> 5)
+    sizes_s = [raw_sizes[:, lo: lo + w] for lo in los]
+
+    def step(it, carries):
+        carries = list(carries)
         for wi in range(unroll):
+            if wi % REFILL_WORDS == 0:
+                # Fixed-cadence refill: [cursor, cursor+8) covers the next
+                # REFILL_WORDS * 4 symbols (<= 16 bits each) plus the
+                # carried 2-word window.
+                for s in range(streams):
+                    refill(s, carries[s][3] >> 5)
             wt = it * unroll + wi
-            carry = (carry[0], carry[1], carry[2], carry[3], zeros)
+            for s in range(streams):
+                carries[s] = carries[s][:6] + (zeros,)
+            # Streams interleave per symbol: their dependency chains are
+            # independent, hiding the serial renorm/div latency.
             for j in range(4):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
-                carry = sym_step(t, carry)
+                for s in range(streams):
+                    carries[s] = sym_step(s, sizes_s[s], t, carries[s])
             # The store row is uniform across lanes: plain dynamic store.
-            out_ref[pl.ds(wt, 1), :] = carry[4]
-        return carry
+            for s in range(streams):
+                out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][6]
+        return tuple(carries)
 
-    carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], zeros)
-    carry = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
-                              step, carry)
+    # Seed each stream's carried bit window [widx, widx+2) once per chunk
+    # (the ring still covers it: the last refill of the previous chunk was
+    # at most 4 consumed words behind the cursor).
+    carries = []
+    for s, lo in enumerate(los):
+        bp0 = st[3:4, lo: lo + w]
+        wi0 = bp0 >> 5
+        rs = rings[s][:]
+        w0_0 = jnp.sum(rs * (iota8 == (wi0 & 7)).astype(i32),
+                       keepdims=True, axis=0)
+        w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
+                       axis=0, keepdims=True)
+        carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
+                        st[2:3, lo: lo + w], bp0, w0_0, w1_0, zeros))
+    carries = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
+                                step, tuple(carries))
 
     @pl.when(t_chunk < n_chunks - 1)
     def _save():
-        lower, upper, code, bitpos, _ = carry
-        st[0:1, :] = lower
-        st[1:2, :] = upper
-        st[2:3, :] = code
-        st[3:4, :] = bitpos
+        for s, lo in enumerate(los):
+            st[0:1, lo: lo + w] = carries[s][0]
+            st[1:2, lo: lo + w] = carries[s][1]
+            st[2:3, lo: lo + w] = carries[s][2]
+            st[3:4, lo: lo + w] = carries[s][3]
 
 
 @functools.partial(
@@ -264,6 +321,9 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         f"{CHUNK_WORDS * 4}-byte chunk")
     assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
+    # Stream slices must stay whole vregs (128 lanes) wide.
+    streams = STREAMS if (not interpret and tile % (STREAMS * 128) == 0) \
+        else 1
 
     kernel = functools.partial(
         _decode_kernel,
@@ -274,6 +334,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         # The interpreter pays XLA-CPU compile time proportional to the
         # unrolled body; only the compiled TPU path wants the unroll.
         unroll=1 if interpret else UNROLL_WORDS,
+        streams=streams,
     )
     return pl.pallas_call(
         kernel,
@@ -289,11 +350,13 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         out_shape=jax.ShapeDtypeStruct(
             (p_words, n_lanes), jnp.int32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((256, tile), jnp.int32),
-            pltpu.VMEM((8, tile), jnp.int32),
-            pltpu.VMEM((8, tile), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, tile), jnp.int32)]
+            + [pltpu.VMEM((256, tile // streams), jnp.int32)
+               for _ in range(streams)]
+            + [pltpu.VMEM((8, tile // streams), jnp.int32)
+               for _ in range(streams)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
