@@ -57,6 +57,11 @@ RING = 16          # ring slots (words) per lane
 CHUNK_WORDS = 32   # input words per grid time-chunk (= 128 symbols)
 MAX_RUN_WORDS = 2  # whole run words handled in-kernel; longer -> error flag
 UNROLL_WORDS = 8   # input words coded per scalar-loop iteration
+STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
+                   # latency-bound (unroll=8 already hides the chain);
+                   # swept 1/2/4 on-chip, 1 wins
+WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
+                   # swept 39/15 on-chip: 15 wins
 # The word loop runs (chunk_words / unroll) iterations; a non-divisor would
 # silently drop the tail words of every chunk.
 assert CHUNK_WORDS % UNROLL_WORDS == 0
@@ -97,14 +102,23 @@ def _append(acc, nbuf, val, n):
     return acc2, nbuf2, word, flushing
 
 
-def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
-                   ring, *, tile, steps_per_chunk, n_chunks, out_groups, unroll):
+def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
+                   *scratch, tile, steps_per_chunk, n_chunks, out_groups,
+                   unroll, streams):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
-    iota256 = jax.lax.broadcasted_iota(i32, (256, tile), 0)
-    iota16 = jax.lax.broadcasted_iota(i32, (RING, tile), 0)
-    grows = jax.lax.broadcasted_iota(i32, (out_groups, tile), 0)
-    zeros = jnp.zeros((1, tile), i32)
+    w = tile // streams  # lanes per stream slice
+    # Per-stream model/ring scratch with independent coder carries,
+    # interleaved per symbol: the serial renorm/emit chain is latency
+    # bound (measured via decode ablation, round 2), so independent
+    # streams hide each other's dependency stalls.
+    Cs_all = scratch[:streams]
+    rings = scratch[streams:]
+    iota256 = jax.lax.broadcasted_iota(i32, (256, w), 0)
+    iota16 = jax.lax.broadcasted_iota(i32, (RING, w), 0)
+    grows = jax.lax.broadcasted_iota(i32, (out_groups, w), 0)
+    zeros = jnp.zeros((1, w), i32)
+    los = [s * w for s in range(streams)]
 
     @pl.when(t_chunk == 0)
     def _init():
@@ -113,48 +127,53 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         # the implicit C[256] = cumprob needs no special case (row 255's
         # high half is maintained by the update like any other).
         base = jnp.arange(256, dtype=i32)
-        C[:] = jnp.broadcast_to(
-            (base | ((base + 1) << 16))[:, None], (256, tile)
-        )
-        st[0:1, :] = zeros            # lower
-        st[1:2, :] = zeros + U16      # upper
-        st[2:3, :] = zeros            # underflow
-        st[3:4, :] = zeros            # acc (left-aligned bit buffer)
-        st[4:5, :] = zeros            # nbuf
-        st[5:6, :] = zeros + 1        # wcur: word 0 reserved for the header
-        st[6:7, :] = zeros + 1        # wbase: first un-dumped ring word
-        st[7:8, :] = zeros            # err flag
+        for si, lo in enumerate(los):
+            Cs_all[si][:] = jnp.broadcast_to(
+                (base | ((base + 1) << 16))[:, None], (256, w)
+            )
+            st[0:1, lo: lo + w] = zeros            # lower
+            st[1:2, lo: lo + w] = zeros + U16      # upper
+            st[2:3, lo: lo + w] = zeros            # underflow
+            st[3:4, lo: lo + w] = zeros            # acc (bit buffer)
+            st[4:5, lo: lo + w] = zeros            # nbuf
+            st[5:6, lo: lo + w] = zeros + 1        # wcur: word 0 = header
+            st[6:7, lo: lo + w] = zeros + 1        # wbase: first un-dumped
+            st[7:8, lo: lo + w] = zeros            # err flag
 
     sizes = sizes_ref[:]
+    sizes_s = [sizes[:, lo: lo + w] for lo in los]
 
-    def ring_write(word, wcur, flushing):
+    def ring_write(si, word, wcur, flushing):
         """Masked one-hot write into ring slot wcur & 15 (sublane slots)."""
         slot = jnp.where(flushing, wcur & (RING - 1), -1)
-        ring[:] = jnp.where(iota16 == slot, word, ring[:])
+        rings[si][:] = jnp.where(iota16 == slot, word, rings[si][:])
 
-    def dump(wbase, drained):
+    def dump(si, wbase, drained):
         """Write ring words [wbase, drained) to big2d, one masked pass per
         word-in-group column (no lane repeats needed)."""
+        lo = los[si]
+        ring = rings[si]
         for j in range(8):
             wj = grows * 8 + j                      # word index of column j
             inr = (wj >= wbase) & (wj < drained)
             par = wj & 8                            # bit 3: slot j or j+8
             val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
-            colj = out_ref[:, j * tile:(j + 1) * tile]
-            out_ref[:, j * tile:(j + 1) * tile] = jnp.where(inr, val, colj)
+            colj = out_ref[:, j * tile + lo: j * tile + lo + w]
+            out_ref[:, j * tile + lo: j * tile + lo + w] = \
+                jnp.where(inr, val, colj)
 
     # Windowed dump: the masked dump pass is the kernel's single biggest
     # cost when it scans all out_groups rows (measured +240 ns/symbol).
     # Lanes' write fronts cluster tightly on real data, so once per chunk
-    # the scalar [klo, khi] hull of the per-lane fronts is taken and, when
-    # the hull plus this chunk's worst-case growth fits a WIN-row window,
-    # every dump of the chunk scans only that window.  Divergent batches
-    # fall back to the full-range scan — identical output either way.
-    # Worst-case growth of a write front within one chunk: <= 16
-    # bits/symbol = steps_per_chunk/16 rows, +3 rows ring/align slack.
+    # the scalar [klo, khi] hull of the per-lane fronts (ALL streams) is
+    # taken and, when the hull plus this chunk's worst-case growth fits a
+    # WIN-row window, every dump of the chunk scans only that window.
+    # Divergent batches fall back to the full-range scan — identical
+    # output either way.  Worst-case growth of a write front within one
+    # chunk: <= 16 bits/symbol = steps_per_chunk/16 rows, +3 rows slack.
     GROW = steps_per_chunk // 16 + 3
-    WIN = min((GROW + 39) & ~7, out_groups)
-    wrows = jax.lax.broadcasted_iota(i32, (WIN, tile), 0)
+    WIN = min((GROW + WIN_PAD) & ~7, out_groups)
+    wrows = jax.lax.broadcasted_iota(i32, (WIN, w), 0)
     wb0 = st[6:7, :]
     alive0 = (t_chunk * steps_per_chunk) < sizes
     include = alive0 | ((st[5:6, :] - wb0) >= 8)
@@ -165,26 +184,28 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
     klo = pl.multiple_of(klo, 8)
     fast = (khi + GROW) <= (klo + WIN)
 
-    def dump_win(wbase, drained):
+    def dump_win(si, wbase, drained):
+        lo = los[si]
+        ring = rings[si]
         for j in range(8):
             wj = (klo + wrows) * 8 + j
             inr = (wj >= wbase) & (wj < drained)
             par = wj & 8
             val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
-            colj = out_ref[pl.ds(klo, WIN), j * tile:(j + 1) * tile]
-            out_ref[pl.ds(klo, WIN), j * tile:(j + 1) * tile] = \
+            colj = out_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w]
+            out_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w] = \
                 jnp.where(inr, val, colj)
 
-    def dump_sched(wbase, drained):
+    def dump_sched(si, wbase, drained):
         @pl.when(fast)
         def _():
-            dump_win(wbase, drained)
+            dump_win(si, wbase, drained)
 
         @pl.when(jnp.logical_not(fast))
         def _():
-            dump(wbase, drained)
+            dump(si, wbase, drained)
 
-    def emit(state, b0, u_drain, pat, npat, has):
+    def emit(si, state, b0, u_drain, pat, npat, has):
         """Emit [b0] + [~b0]*u_drain + pat(npat bits) for all lanes."""
         acc, nbuf, wcur, err = state
         runbit = jnp.where(has, 1 - b0, 0)
@@ -197,8 +218,8 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         hasn = has.astype(jnp.int32)
         r1 = jnp.minimum(u_drain, (32 - nbuf - hasn) & 31)
         rv = jnp.where(runbit > 0, (1 << r1) - 1, 0)
-        acc, nbuf, w, f = _append(acc, nbuf, (b0 << r1) | rv, hasn + r1)
-        ring_write(w, wcur, f)
+        acc, nbuf, word, f = _append(acc, nbuf, (b0 << r1) | rv, hasn + r1)
+        ring_write(si, word, wcur, f)
         wcur = wcur + f
         left = u_drain - r1
 
@@ -209,25 +230,26 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         fillw = jnp.where(runbit > 0, jnp.int32(-1), 0)
         for i in range(MAX_RUN_WORDS):
             f = runw > i
-            ring_write(fillw, wcur, f)
+            ring_write(si, fillw, wcur, f)
             wcur = wcur + f
         err = err | (runw > MAX_RUN_WORDS)
         left = left - (runw << 5)
 
         # P2c: run remainder (word-aligned when P2b fired, fits otherwise).
         rv = jnp.where(runbit > 0, (1 << left) - 1, 0)
-        acc, nbuf, w, f = _append(acc, nbuf, rv, left)
-        ring_write(w, wcur, f)
+        acc, nbuf, word, f = _append(acc, nbuf, rv, left)
+        ring_write(si, word, wcur, f)
         wcur = wcur + f
 
         # P3: remaining pattern bits.
-        acc, nbuf, w, f = _append(acc, nbuf, pat, npat)
-        ring_write(w, wcur, f)
+        acc, nbuf, word, f = _append(acc, nbuf, pat, npat)
+        ring_write(si, word, wcur, f)
         wcur = wcur + f
         return acc, nbuf, wcur, err
 
-    def sym_step(t, sym, active, carry):
+    def sym_step(si, t, sym, active, carry):
         lower, upper, under, acc, nbuf, wcur, wbase, err = carry
+        C = Cs_all[si]
 
         # Model query + update (applySymbolRange, src/gpuar_kernel.cu:256):
         # one one-hot sum over the pair-packed table yields C[sym] (low
@@ -268,86 +290,92 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, C, st,
         pat = jnp.where(has, topm & ((1 << npat) - 1), 0)
         under2 = jnp.where(has, 0, under) + jnp.where(active, k, 0)
 
-        acc, nbuf, wcur, err = emit((acc, nbuf, wcur, err),
+        acc, nbuf, wcur, err = emit(si, (acc, nbuf, wcur, err),
                                     b0, u_drain, pat, npat, has)
 
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         return (lower, upper, under2, acc, nbuf, wcur, wbase, err)
 
-    def step(it, carry):
+    def step(it, carries):
         """UNROLL_WORDS words (4 symbols each) per scalar-loop iteration:
         the loop carries a measured ~470 ns/iteration fixed cost
         (benchmarks/probe_model.py), so the serial coder is unrolled to
         amortise it.  The ring dump keeps its every-4-symbols cadence
         (same <= 16-slot live-span bound)."""
+        carries = list(carries)
         for wi in range(unroll):
             wt = it * unroll + wi
-            w_in = in_ref[pl.ds(wt, 1), :]
+            w_ins = [in_ref[pl.ds(wt, 1), lo: lo + w] for lo in los]
             for j in range(4):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
-                active = t < sizes
-                sym = jnp.where(active, (w_in >> (j * 8)) & 0xFF, 0)
-                carry = sym_step(t, sym, active, carry)
+                for si in range(streams):
+                    active = t < sizes_s[si]
+                    sym = jnp.where(active, (w_ins[si] >> (j * 8)) & 0xFF, 0)
+                    carries[si] = sym_step(si, t, sym, active, carries[si])
 
-            lower, upper, under, acc, nbuf, wcur, wbase, err = carry
-            pend = wcur - wbase
-            drained = jnp.where(pend >= 8, wbase + 8, wbase)
-            dump_sched(wbase, drained)
-            err = err | (pend > RING)
-            carry = (lower, upper, under, acc, nbuf, wcur, drained, err)
-        return carry
+            for si in range(streams):
+                lower, upper, under, acc, nbuf, wcur, wbase, err = \
+                    carries[si]
+                pend = wcur - wbase
+                drained = jnp.where(pend >= 8, wbase + 8, wbase)
+                dump_sched(si, wbase, drained)
+                err = err | (pend > RING)
+                carries[si] = (lower, upper, under, acc, nbuf, wcur,
+                               drained, err)
+        return tuple(carries)
 
-    carry = (st[0:1, :], st[1:2, :], st[2:3, :], st[3:4, :], st[4:5, :],
-             st[5:6, :], st[6:7, :], st[7:8, :])
-    carry = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
-                              step, carry)
-    lower, upper, under, acc, nbuf, wcur, wbase, err = carry
+    carries = tuple(
+        (st[0:1, lo: lo + w], st[1:2, lo: lo + w], st[2:3, lo: lo + w],
+         st[3:4, lo: lo + w], st[4:5, lo: lo + w], st[5:6, lo: lo + w],
+         st[6:7, lo: lo + w], st[7:8, lo: lo + w])
+        for lo in los)
+    carries = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
+                                step, carries)
 
     @pl.when(t_chunk < n_chunks - 1)
     def _save():
-        st[0:1, :] = lower
-        st[1:2, :] = upper
-        st[2:3, :] = under
-        st[3:4, :] = acc
-        st[4:5, :] = nbuf
-        st[5:6, :] = wcur
-        st[6:7, :] = wbase
-        st[7:8, :] = err
+        for si, lo in enumerate(los):
+            for r in range(8):
+                st[r: r + 1, lo: lo + w] = carries[si][r]
 
     @pl.when(t_chunk == n_chunks - 1)
     def _finish():
-        ones = jnp.ones((1, tile), i32)
-        # writeRemaining (src/gpuar_kernel.cu:379-388): lower's second bit,
-        # then underflow+1 complements — same emit machinery.
-        tail = (lower >> 14) & 1
-        a2, n2, w2, e2 = emit((acc, nbuf, wcur, err), tail, under + 1,
-                              zeros, zeros, ones.astype(jnp.bool_))
-        # Mid-stream dump if the tail emission overfilled the ring.
-        pend = w2 - wbase
-        base2 = jnp.where(pend > 8, wbase + 8, wbase)
+        ones = jnp.ones((1, w), i32)
+        for si, lo in enumerate(los):
+            lower, upper, under, acc, nbuf, wcur, wbase, err = carries[si]
+            # writeRemaining (src/gpuar_kernel.cu:379-388): lower's second
+            # bit, then underflow+1 complements — same emit machinery.
+            tail = (lower >> 14) & 1
+            a2, n2, w2, e2 = emit(si, (acc, nbuf, wcur, err), tail,
+                                  under + 1, zeros, zeros,
+                                  ones.astype(jnp.bool_))
+            # Mid-stream dump if the tail emission overfilled the ring.
+            pend = w2 - wbase
+            base2 = jnp.where(pend > 8, wbase + 8, wbase)
 
-        @pl.when(jnp.any(pend > 8))
-        def _():
-            dump(wbase, base2)
+            @pl.when(jnp.any(pend > 8))
+            def _():
+                dump(si, wbase, base2)
 
-        # writeClose: left-aligned zero pad to a byte boundary, flush the
-        # final partial word, then drain everything left.
-        n2 = (n2 + 7) & ~7
-        body_bytes = (w2 - 1) * 4 + (n2 >> 3)
-        total = body_bytes + 4
-        f = n2 > 0
-        ring_write(a2, w2, f)
-        w3 = w2 + f
-        dump(base2, w3)
+            # writeClose: left-aligned zero pad to a byte boundary, flush
+            # the final partial word, then drain everything left.
+            n2 = (n2 + 7) & ~7
+            body_bytes = (w2 - 1) * 4 + (n2 >> 3)
+            total = body_bytes + 4
+            f = n2 > 0
+            ring_write(si, a2, w2, f)
+            w3 = w2 + f
+            dump(si, base2, w3)
 
-        # Header word (bytes: total_lo, total_hi, raw_lo, raw_hi -> BE word).
-        raw = sizes
-        hdr = ((total & 0xFF) << 24) | (((total >> 8) & 0xFF) << 16) | \
-              ((raw & 0xFF) << 8) | ((raw >> 8) & 0xFF)
-        out_ref[0:1, 0:tile] = hdr
-        len_ref[:] = total
-        err_ref[:] = e2
+            # Header word (bytes: total_lo, total_hi, raw_lo, raw_hi ->
+            # BE word).
+            raw = sizes_s[si]
+            hdr = ((total & 0xFF) << 24) | (((total >> 8) & 0xFF) << 16) | \
+                  ((raw & 0xFF) << 8) | ((raw >> 8) & 0xFF)
+            out_ref[0:1, lo: lo + w] = hdr
+            len_ref[0:1, lo: lo + w] = total
+            err_ref[0:1, lo: lo + w] = e2
 
 
 def _bswap32(w):
@@ -396,6 +424,9 @@ def _encode_big2d(words, sizes, *, tile, packet_size, out_groups,
     assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
 
+    # Stream slices must stay whole vregs (128 lanes) wide.
+    streams = STREAMS if (not interpret and tile % (STREAMS * 128) == 0) \
+        else 1
     kernel = functools.partial(
         _encode_kernel,
         tile=tile,
@@ -405,6 +436,7 @@ def _encode_big2d(words, sizes, *, tile, packet_size, out_groups,
         # The interpreter pays XLA-CPU compile time proportional to the
         # unrolled body; only the compiled TPU path wants the unroll.
         unroll=1 if interpret else UNROLL_WORDS,
+        streams=streams,
     )
     grid = (n_tiles, n_chunks)
     return pl.pallas_call(
@@ -429,11 +461,13 @@ def _encode_big2d(words, sizes, *, tile, packet_size, out_groups,
             jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((256, tile), jnp.int32),
-            pltpu.VMEM((8, tile), jnp.int32),
-            pltpu.VMEM((RING, tile), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, tile), jnp.int32)]
+            + [pltpu.VMEM((256, tile // streams), jnp.int32)
+               for _ in range(streams)]
+            + [pltpu.VMEM((RING, tile // streams), jnp.int32)
+               for _ in range(streams)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),

@@ -170,14 +170,15 @@ class Compressor:
         with io:
             fout = open(dst, "wb")
         try:
+            reader = _PacketReader(fin)
             pending = None  # (handle, raw_sizes)
             eof = False
             while not eof or pending is not None:
                 handle = None
                 if not eof:
                     with io:
-                        packets, raw_sizes = _read_packet_batch(
-                            fin, self.super_batch_packets
+                        packets, raw_sizes = reader.read_batch(
+                            self.super_batch_packets
                         )
                     if packets is not None:
                         with process:
@@ -279,40 +280,75 @@ def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:
     return native.splice(packets, lengths)
 
 
-def _read_packet_batch(fin, max_packets: int):
-    """Read up to max_packets framed packets into a fixed-stride batch.
+class _PacketReader:
+    """Block-buffered framed-packet reader: one read(2) per ~8 MiB
+    instead of two per packet (the reference reads header-then-body per
+    packet, src/gpu_compressor.cpp:299-310 — ~2.6 M syscalls on a 10 GB
+    archive; the block walk keeps the same validation)."""
 
-    Returns (packets [p, COMPRESSED_PACKET_SIZE] uint8, raw_sizes [p]) or
-    (None, None) at EOF.  Mirrors the reference's header-then-body reads
-    (src/gpu_compressor.cpp:299-310) with container validation.
-    """
-    packets = np.zeros((max_packets, COMPRESSED_PACKET_SIZE), dtype=np.uint8)
-    raw_sizes = np.zeros(max_packets, dtype=np.int32)
-    count = 0
-    while count < max_packets:
-        head = fin.read(PACKET_HEADER_LENGTH)
-        if not head:
-            break
-        if len(head) < PACKET_HEADER_LENGTH:
-            raise container.ContainerError(
-                "Incorrect file format: truncated packet header"
+    def __init__(self, fin, block_size: int = 8 << 20):
+        self._fin = fin
+        self._block = block_size
+        self._buf = b""
+        self._pos = 0
+        self._eof = False
+
+    def _avail(self) -> int:
+        return len(self._buf) - self._pos
+
+    def _fill(self, need: int) -> int:
+        """Ensure `need` bytes are buffered past the cursor (or EOF);
+        returns the bytes available."""
+        if self._avail() >= need or self._eof:
+            return self._avail()
+        chunks = [self._buf[self._pos:]]
+        got = len(chunks[0])
+        while got < need:
+            blk = self._fin.read(self._block)
+            if not blk:
+                self._eof = True
+                break
+            chunks.append(blk)
+            got += len(blk)
+        self._buf = b"".join(chunks)
+        self._pos = 0
+        return len(self._buf)
+
+    def read_batch(self, max_packets: int):
+        """Up to max_packets framed packets as a fixed-stride batch.
+
+        Returns (packets [p, COMPRESSED_PACKET_SIZE] uint8, raw_sizes [p])
+        or (None, None) at EOF.
+        """
+        packets = np.zeros((max_packets, COMPRESSED_PACKET_SIZE),
+                           dtype=np.uint8)
+        raw_sizes = np.zeros(max_packets, dtype=np.int32)
+        count = 0
+        while count < max_packets:
+            have = self._fill(PACKET_HEADER_LENGTH)
+            if have == 0:
+                break
+            if have < PACKET_HEADER_LENGTH:
+                raise container.ContainerError(
+                    "Incorrect file format: truncated packet header"
+                )
+            total, raw = container.packet_sizes(
+                self._buf[self._pos: self._pos + PACKET_HEADER_LENGTH]
             )
-        total, raw = container.packet_sizes(head)
-        container.validate_packet_header(total, raw, UNCOMPRESSED_PACKET_SIZE)
-        body = fin.read(total - PACKET_HEADER_LENGTH)
-        if len(body) < total - PACKET_HEADER_LENGTH:
-            raise container.ContainerError(
-                "Incorrect file format: truncated packet body"
-            )
-        packets[count, :PACKET_HEADER_LENGTH] = np.frombuffer(head, dtype=np.uint8)
-        packets[count, PACKET_HEADER_LENGTH:total] = np.frombuffer(
-            body, dtype=np.uint8
-        )
-        raw_sizes[count] = raw
-        count += 1
-    if count == 0:
-        return None, None
-    return packets[:count], raw_sizes[:count]
+            container.validate_packet_header(
+                total, raw, UNCOMPRESSED_PACKET_SIZE)
+            if self._fill(total) < total:
+                raise container.ContainerError(
+                    "Incorrect file format: truncated packet body"
+                )
+            packets[count, :total] = np.frombuffer(
+                self._buf, np.uint8, total, self._pos)
+            raw_sizes[count] = raw
+            self._pos += total
+            count += 1
+        if count == 0:
+            return None, None
+        return packets[:count], raw_sizes[:count]
 
 
 class HostCompressor(Compressor):
