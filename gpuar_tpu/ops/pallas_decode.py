@@ -71,9 +71,14 @@ def _shr_u(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
+def _decode_kernel(sizes_ref, in_ref, *refs,
                    tile, steps_per_chunk, n_chunks, out_groups, unroll,
-                   streams):
+                   streams, debug):
+    if debug:
+        out_ref, flag_ref, st, *scratch = refs
+    else:
+        out_ref, st, *scratch = refs
+        flag_ref = None
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     w = tile // streams  # lanes per stream slice
@@ -121,6 +126,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
             st[1:2, lo: lo + w] = zeros + U16      # upper
             st[2:3, lo: lo + w] = _shr_u(w1, 16)   # code
             st[3:4, lo: lo + w] = zeros + 48       # bitpos (word 0 + 16)
+            st[4:5, lo: lo + w] = zeros            # debug flag
 
     raw_sizes = sizes_ref[:]
 
@@ -159,7 +165,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
             refill_full(s, rb)
 
     def sym_step(si, sizes_s, t, carry):
-        lower, upper, code, bitpos, w0, w1, wacc = carry
+        lower, upper, code, bitpos, w0, w1, flag, wacc = carry
         active = t < sizes_s
         cum = 256 + t
         Cs = Cs_all[si][:]
@@ -196,6 +202,17 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16
 
+        if debug:
+            # The reference's -D_DEBUG checks (src/gpuar_kernel.cu):
+            # unknown symbol — unscaled beyond the table, the binary
+            # search would fail (:758-762); range inversion after
+            # applySymbolRange (:290-298).  Corrupt-but-well-framed
+            # packets decode to silent garbage in release mode (same as
+            # the reference); with debug=True the lane is flagged.
+            flag = flag | (active & ((unscaled >= cum)
+                                     | (unscaled < 0))).astype(i32)
+            flag = flag | (active & (lo2 > up2)).astype(i32)
+
         # Closed-form renormalisation; decode consumes s = m + k bits.
         m = _clz16(lo2 ^ up2)
         la = (lo2 << m) & U16
@@ -230,7 +247,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         code = jnp.where(active, code2, code)
-        return (lower, upper, code, bitpos, w0, w1, wacc)
+        return (lower, upper, code, bitpos, w0, w1, flag, wacc)
 
     sizes_s = [raw_sizes[:, lo: lo + w] for lo in los]
 
@@ -245,7 +262,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
                     refill(s, carries[s][3] >> 5)
             wt = it * unroll + wi
             for s in range(streams):
-                carries[s] = carries[s][:6] + (zeros,)
+                carries[s] = carries[s][:7] + (zeros,)
             # Streams interleave per symbol: their dependency chains are
             # independent, hiding the serial renorm/div latency.
             for j in range(4):
@@ -254,7 +271,7 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
                     carries[s] = sym_step(s, sizes_s[s], t, carries[s])
             # The store row is uniform across lanes: plain dynamic store.
             for s in range(streams):
-                out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][6]
+                out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][7]
         return tuple(carries)
 
     # Seed each stream's carried bit window [widx, widx+2) once per chunk
@@ -270,7 +287,8 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
         w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
                        axis=0, keepdims=True)
         carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
-                        st[2:3, lo: lo + w], bp0, w0_0, w1_0, zeros))
+                        st[2:3, lo: lo + w], bp0, w0_0, w1_0,
+                        st[4:5, lo: lo + w] if debug else zeros, zeros))
     carries = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
                                 step, tuple(carries))
 
@@ -281,16 +299,34 @@ def _decode_kernel(sizes_ref, in_ref, out_ref, st, *scratch,
             st[1:2, lo: lo + w] = carries[s][1]
             st[2:3, lo: lo + w] = carries[s][2]
             st[3:4, lo: lo + w] = carries[s][3]
+            if debug:
+                st[4:5, lo: lo + w] = carries[s][6]
+
+    if debug:
+        @pl.when(t_chunk == n_chunks - 1)
+        def _flags():
+            for s, lo in enumerate(los):
+                # Row 0: invariant flags; row 1: final bit cursor, which
+                # the host compares against the framed packet length to
+                # catch streams that ran dry (corrupt-but-well-framed
+                # packets cannot violate the coder invariants — AC
+                # decodes any bit string — but they CAN overrun).
+                flag_ref[0:1, lo: lo + w] = carries[s][6]
+                flag_ref[1:2, lo: lo + w] = carries[s][3]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "packet_size", "out_groups", "interpret"),
+    static_argnames=("tile", "packet_size", "out_groups", "interpret",
+                     "debug"),
 )
 def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
-                 interpret=False):
+                 interpret=False, debug=False):
     """Decode packets32 [n_lanes, out_words] i32 (u8 view = the framed
-    bitstreams) -> raw words [n_lanes, p_words] i32 (u8 view = the bytes).
+    bitstreams) -> raw words [n_lanes, p_words] i32 (u8 view = the bytes);
+    with debug=True returns (raw_words, flags [1, n_lanes]) where a lane
+    flags on the reference's -D_DEBUG conditions (range inversion /
+    symbol-search failure, src/gpuar_kernel.cu:290-298,758-762).
 
     Layout work (byte order, tile interleave, output transpose) runs on
     the device — the host only reinterprets dtypes.
@@ -303,12 +339,15 @@ def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
     big = _bswap32(packets32).reshape(n_tiles, tile, g, 8) \
         .transpose(2, 0, 3, 1).reshape(g, 8 * n_lanes)
     out = _decode_big2d(big, sizes, tile=tile, packet_size=packet_size,
-                        out_groups=out_groups, interpret=interpret)
+                        out_groups=out_groups, interpret=interpret,
+                        debug=debug)
+    if debug:
+        return out[0].T, out[1]
     return out.T
 
 
 def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
-                  interpret=False):
+                  interpret=False, debug=False):
     n_lanes = sizes.shape[1]
     n_tiles = n_lanes // tile
     p_words = packet_size // 4
@@ -335,7 +374,17 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         # unrolled body; only the compiled TPU path wants the unroll.
         unroll=1 if interpret else UNROLL_WORDS,
         streams=streams,
+        debug=debug,
     )
+    out_specs = pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((p_words, n_lanes), jnp.int32)
+    if debug:
+        out_specs = [out_specs,
+                     pl.BlockSpec((2, tile), lambda i, t: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((2, n_lanes), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
@@ -345,11 +394,8 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
             pl.BlockSpec((out_groups, 8 * tile), lambda i, t: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (p_words, n_lanes), jnp.int32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((8, tile), jnp.int32)]
             + [pltpu.VMEM((256, tile // streams), jnp.int32)
@@ -378,8 +424,16 @@ def pad_packets32(packets: np.ndarray, tile: int, out_words: int):
 def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
                         tile: int = 1024,
                         packet_size: int = UNCOMPRESSED_PACKET_SIZE,
-                        interpret: bool = False) -> np.ndarray:
-    """Decode fixed-stride packets -> padded raw [B, packet_size] u8."""
+                        interpret: bool = False,
+                        debug: bool = False) -> np.ndarray:
+    """Decode fixed-stride packets -> padded raw [B, packet_size] u8.
+
+    With debug=True the kernel additionally evaluates the reference's
+    -D_DEBUG assertions per lane (range inversion, failed symbol search —
+    src/gpuar_kernel.cu:290-298,758-762) and raises ContainerError naming
+    the corrupt packets; release mode decodes garbage silently, exactly
+    like the reference.
+    """
     n = packets.shape[0]
     out_groups, out_words = out_geometry(packet_size)
     packets32, n_pad = pad_packets32(packets, tile, out_words)
@@ -389,7 +443,29 @@ def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
     out = _decode_call(
         jnp.asarray(packets32), jnp.asarray(sz),
         tile=tile, packet_size=packet_size, out_groups=out_groups,
-        interpret=interpret,
+        interpret=interpret, debug=debug,
     )
+    if debug:
+        out, flags = out
+        flags = np.asarray(flags)
+        # Framed total per packet (u16 LE at offset 0) -> available bits;
+        # the decoder's cursor starts at 48 (header word + 16 priming
+        # bits) and must never pass the packet end on a valid stream.
+        total_bits = (packets[:, 0].astype(np.int64)
+                      | (packets[:, 1].astype(np.int64) << 8)) * 8
+        # The decoder legitimately reads up to 16 lookahead bits past the
+        # written stream (initializeDecoder primes a 16-bit code window;
+        # writeRemaining flushes fewer tail bits) — measured clean slack
+        # is 7..13 bits.  Anything past that means the stream ran dry.
+        overrun = flags[1, :n] > total_bits + 16
+        bad = np.nonzero((flags[0, :n] != 0) | overrun)[0]
+        if bad.size:
+            from gpuar_tpu import container
+
+            raise container.ContainerError(
+                "Corrupt packet data: coder invariant violation or "
+                f"bitstream overrun in packets {bad[:8].tolist()}"
+                f"{'...' if bad.size > 8 else ''}"
+            )
     raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, : packet_size]
     return raw[:n].copy()
