@@ -1,0 +1,102 @@
+"""Deterministic enwik8 stand-in (pinned, reproducible across rounds).
+
+BASELINE.json config 3 names enwik8 (the first 100 MB of English
+Wikipedia XML); this build environment has no network egress, so ratio
+numbers need a corpus that is (a) natural-language-shaped — zipfian word
+frequencies, MediaWiki XML framing, wiki markup — and (b) bit-for-bit
+reproducible everywhere.  `generate(size)` is a pure function of the
+pinned seed: the sha256 of the canonical prefixes is asserted in
+tests/test_enwik_proxy.py, so cross-round ratio numbers stay comparable.
+
+This does NOT claim enwik8's exact entropy; it pins a deterministic
+text-class workload in the same family (order-0 entropy ~4.8 bits/byte)
+until a real enwik8 can be fetched and swapped in.
+"""
+
+import hashlib
+
+import numpy as np
+
+SEED = 0x0E71C8
+VOCAB_SIZE = 8192
+# sha256 of canonical prefixes, pinned so every round benches the same
+# bytes (asserted in tests/test_enwik_proxy.py; measured order-0 entropy
+# 4.31 bits/byte).
+SHA256_1M = "d618327570cf6feba1084a6bda4f413e7d1641b1404479705b5dcc8a3f0295f8"
+SHA256_16M = "c4bf04ed88a0900672b73d05903eefef015e7e732136d24d5dc4224245c4ca32"
+
+_CONS = "bcdfghjklmnprstvwz"
+_VOW = "aeiou"
+
+
+def _vocab(rng: np.random.Generator) -> list[bytes]:
+    """Deterministic syllable-built vocabulary, rank 0 = most frequent."""
+    syllables = [c + v for c in _CONS for v in _VOW]
+    syllables += [c + v + t for c in _CONS[:8] for v in _VOW
+                  for t in "nrst"]
+    idx = rng.integers(0, len(syllables), size=(VOCAB_SIZE, 4))
+    nsyl = 1 + (np.arange(VOCAB_SIZE) * 3) // VOCAB_SIZE  # short = frequent
+    words = []
+    for i in range(VOCAB_SIZE):
+        words.append("".join(syllables[j]
+                             for j in idx[i, : nsyl[i] + 1]).encode())
+    return words
+
+
+def _zipf_probs(n: int, s: float = 1.05) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1) ** s
+    return p / p.sum()
+
+
+def generate(size: int) -> bytes:
+    """`size` bytes of MediaWiki-export-shaped text, deterministic."""
+    rng = np.random.default_rng(SEED)
+    words = _vocab(rng)
+    probs = _zipf_probs(VOCAB_SIZE)
+    out = bytearray()
+    out += (b'<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.3/" '
+            b'xml:lang="en">\n  <siteinfo>\n    <sitename>Wikipedia'
+            b'</sitename>\n  </siteinfo>\n')
+    page = 0
+    while len(out) < size:
+        page += 1
+        title = b" ".join(
+            words[i].capitalize()
+            for i in rng.choice(VOCAB_SIZE, size=rng.integers(1, 4),
+                                p=probs))
+        out += (b"  <page>\n    <title>" + title + b"</title>\n"
+                b"    <id>" + str(page).encode() + b"</id>\n"
+                b"    <revision>\n      <text>")
+        for _ in range(int(rng.integers(3, 12))):
+            n_words = int(rng.integers(40, 160))
+            idx = rng.choice(VOCAB_SIZE, size=n_words, p=probs)
+            toks = []
+            for k, i in enumerate(idx):
+                word = words[i]
+                r = int(rng.integers(0, 64))
+                if r == 0:
+                    word = b"[[" + word + b"]]"
+                elif r == 1:
+                    word = b"''" + word + b"''"
+                elif r == 2 and k:
+                    word = word + b","
+                if k == 0:
+                    word = word.capitalize()
+                toks.append(word)
+            out += b" ".join(toks) + b". "
+            if rng.integers(0, 3) == 0:
+                out += b"\n\n"
+        out += b"</text>\n    </revision>\n  </page>\n"
+    out = out[:size]
+    return bytes(out)
+
+
+def sha256_of(size: int) -> str:
+    return hashlib.sha256(generate(size)).hexdigest()
+
+
+if __name__ == "__main__":
+    import sys
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    print(size, sha256_of(size))

@@ -6,16 +6,21 @@ region) over the BASELINE corpora:
   * random_64m  — 64 MiB of uniform random bytes (the reference's README
     corpus, regenerated like src/compressor.cpp:28-44; incompressible,
     expected ratio ~1.0005x from framing overhead);
-  * text_64m    — 64 MiB of concatenated source/text files from the local
-    machine (enwik8 stand-in — the build environment has no network
-    egress; exercises the skewed adaptive model and compression ratio);
+  * enwik-proxy — deterministic, hash-pinned MediaWiki-XML-shaped text
+    (benchmarks/enwik_proxy.py; the build environment has no network
+    egress to fetch the real enwik8 — ratio numbers stay comparable
+    across rounds because the corpus cannot drift);
   * zeros_64m   — degenerate best case (underflow-run heavy).
 
 For each corpus: encode GB/s, decode GB/s, compression ratio, bit-exact
 round-trip check, plus the host golden-codec cross-check on a sample.
-Prints a markdown table and writes benchmarks/results.json.
+A final row measures the FULL FILE PIPELINE (TPUCompressor.compress /
+.decompress on a real file: packetize, entropy-sort, device codec,
+fixup, splice, file I/O) with the reference-style process/IO split
+(src/main.cpp:176-182).  Prints a markdown table and writes
+benchmarks/results.json.
 
-Usage: python benchmarks/run.py [--mib 64] [--tile 1024]
+Usage: python benchmarks/run.py [--mib 64] [--tile 1024] [--skip-e2e]
 """
 
 import argparse
@@ -61,6 +66,8 @@ def corpora(mib: int):
     size = mib << 20
     rng = np.random.default_rng(0xBE7C)
     yield "random", rng.integers(0, 256, size, np.uint8).tobytes()
+    from benchmarks import enwik_proxy
+    yield "enwik-proxy", enwik_proxy.generate(size)
     yield "text", _text_corpus(size)
     yield "zeros", bytes(size)
 
@@ -148,15 +155,65 @@ def bench_corpus(name: str, data: bytes, tile: int):
     }
 
 
+def bench_file_level(mib: int):
+    """Whole-pipeline row: compress+decompress a real file through
+    TPUCompressor (reference stats style, src/main.cpp:176-182)."""
+    import hashlib
+    import tempfile
+
+    from gpuar_tpu.parallel.runner import TPUCompressor
+    from gpuar_tpu.pipeline import generate_random_file
+
+    size = mib << 20
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in.bin")
+        gip = os.path.join(tmp, "c.gip")
+        back = os.path.join(tmp, "back.bin")
+        generate_random_file(src, size, seed=0xBE7C)
+        comp = TPUCompressor()
+        # Warm the compile caches so the row measures the pipeline, not
+        # XLA compilation.
+        warm = os.path.join(tmp, "warm.bin")
+        generate_random_file(warm, 1 << 20, seed=1)
+        comp.compress(warm, os.path.join(tmp, "w.gip"))
+        comp.decompress(os.path.join(tmp, "w.gip"), os.path.join(tmp, "w"))
+
+        t0 = time.time()
+        ci = comp.compress(src, gip)
+        t_c = time.time() - t0
+        t0 = time.time()
+        di = comp.decompress(gip, back)
+        t_d = time.time() - t0
+        h1 = hashlib.md5(open(src, "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(back, "rb").read()).hexdigest()
+        assert h1 == h2, "file-level round-trip mismatch"
+    return {
+        "corpus": "file-e2e (random)",
+        "mib": mib,
+        "encode_gbps": round(size / t_c / 1e9, 4),
+        "decode_gbps": round(size / t_d / 1e9, 4),
+        "ratio": round(ci.compressed_file_size / size, 6),
+        "roundtrip": "md5-exact",
+        "compress_process_s": round(ci.process_time, 3),
+        "compress_io_s": round(ci.io_time, 3),
+        "decompress_process_s": round(di.process_time, 3),
+        "decompress_io_s": round(di.io_time, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=64)
     ap.add_argument("--tile", type=int, default=1024)
+    ap.add_argument("--skip-e2e", action="store_true")
     args = ap.parse_args()
 
     rows = []
     for name, data in corpora(args.mib):
         rows.append(bench_corpus(name, data, args.tile))
+        print(f"done: {rows[-1]}", flush=True)
+    if not args.skip_e2e:
+        rows.append(bench_file_level(args.mib))
         print(f"done: {rows[-1]}", flush=True)
 
     out = Path(__file__).with_name("results.json")
