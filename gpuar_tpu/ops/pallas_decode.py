@@ -179,25 +179,29 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         cum_s = jnp.int32(cum)
         unscaled = _exact_div((code - lower + 1) * cum - 1, span)
         # Index-packed compare: Cp[i] <= (u<<8 | 255) <=> C[i] <= u.
+        # The compare is recomputed inside each consumer (instead of a
+        # shared materialized mask) so every table traversal is a single
+        # fused compare+select+reduce read.
         up = (unscaled << 8) | 255
-        le = Cs <= up
-        packed = jnp.max(jnp.where(le, Cs, -1), axis=0, keepdims=True)
+        packed = jnp.max(jnp.where(Cs <= up, Cs, -1), axis=0, keepdims=True)
         low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
         sym = packed & 255           # its index IS the decoded symbol
+        # Sentinel (cum<<8)|255 >= every packed entry, so the sym == 255
+        # case (high = implicit C[256] = cum) falls out of the same min.
         high = _shr_u(
-            jnp.min(jnp.where(le, 0x7FFFFFFF, Cs), axis=0, keepdims=True),
+            jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
+                    axis=0, keepdims=True),
             8)
-        high = jnp.minimum(high, cum)  # sym == 255: C[256] is implicit cum
         sym = jnp.where(active, sym, 0)
         # low <= high <= cum holds for every lane (active or stale), so the
         # downstream range math cannot overflow; inactive lanes are masked
         # out of the carried state below.
 
         # Adaptive update (applySymbolRange tail, :286-288): i > sym is
-        # exactly "not le" (C strictly increasing), so the search mask is
-        # reused; the packed count increment is 1 << 8.
+        # exactly "not le" (C strictly increasing); the packed count
+        # increment is 1 << 8.
         inc = active.astype(i32) << 8
-        Cs_all[si][:] = Cs + jnp.where(le, 0, inc)
+        Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16

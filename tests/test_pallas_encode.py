@@ -85,7 +85,7 @@ def test_fixup_errors_replaces_flagged_lanes(rng):
 def _adversarial_underflow_packet(n=8192):
     """Greedy adversary against the live coder state: each step picks a
     symbol whose coded interval straddles the midpoint tightly, so the
-    pending-underflow run grows past the kernel's MAX_RUN_WORDS budget
+    pending-underflow run grows past the kernel's MAX_RUN_BITS budget
     (reaches ~133 consecutive pending bits)."""
     U16 = 0xFFFF
     C = np.arange(257, dtype=np.int64)
