@@ -1,7 +1,13 @@
 """Randomized end-to-end soak: random file sizes and content mixes through
 the real compressor backends, cross-checked between TPU and host paths.
 
-Usage: python benchmarks/soak.py [--iters 8] [--host-only]
+Iteration 0 (after the size-edge cases) embeds an adversarial-underflow
+packet (>MAX_RUN_BITS pending run) in the corpus, so every soak proves
+the kernel error-flag -> host-fixup path on the actual hardware, not
+just in interpreter tests; the flag firing is recorded in the JSON
+summary (--json).
+
+Usage: python benchmarks/soak.py [--iters 8] [--host-only] [--json OUT]
 """
 import argparse
 import hashlib
@@ -48,6 +54,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--host-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0xF00D)
+    ap.add_argument("--json", default=None,
+                    help="write a run summary (sizes, fixup evidence) here")
     args = ap.parse_args()
 
     from gpuar_tpu.pipeline import HostCompressor
@@ -59,8 +67,21 @@ def main():
 
         tpu = TPUCompressor()
 
+    # Count kernel error-flag fixups (the >MAX_RUN_BITS underflow path)
+    # actually exercised during the soak.
+    from gpuar_tpu.ops import pallas_encode
+    fixups = {"lanes": 0}
+    orig_fixup = pallas_encode.fixup_errors
+
+    def counting_fixup(packets, lengths, errs, data, sizes):
+        fixups["lanes"] += int(np.count_nonzero(errs))
+        return orig_fixup(packets, lengths, errs, data, sizes)
+
+    pallas_encode.fixup_errors = counting_fixup
+
     rng = np.random.default_rng(args.seed)
     edge_sizes = [0, 1, 8191, 8192, 8193, 16 * 8192, 8192 * 1024 + 5]
+    summary = []
     for it in range(args.iters):
         if it < len(edge_sizes):
             size = edge_sizes[it]
@@ -69,7 +90,19 @@ def main():
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "in.bin")
             with open(src, "wb") as f:
-                f.write(make_corpus(rng, size))
+                blob = make_corpus(rng, size)
+                if it == len(edge_sizes):
+                    # Embed a packet engineered to overflow the in-kernel
+                    # underflow-run budget: forces the error-flag ->
+                    # golden-codec fixup path on real hardware.
+                    sys.path.insert(0, os.path.join(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))), "tests"))
+                    from test_pallas_encode import \
+                        _adversarial_underflow_packet
+                    adv = _adversarial_underflow_packet().tobytes()
+                    blob = adv + blob[len(adv):] if len(blob) >= len(adv) \
+                        else adv
+                f.write(blob)
             ref = md5(src)
 
             gh = os.path.join(td, "h.gip")
@@ -85,8 +118,16 @@ def main():
                 out2 = os.path.join(td, "t.out")
                 tpu.decompress(gh, out2)
                 assert md5(out2) == ref, f"iter {it}: TPU decode of host file"
-            print(f"iter {it}: {size} bytes OK", flush=True)
-    print("soak PASSED")
+            print(f"iter {it}: {size} bytes OK "
+                  f"(fixup lanes so far: {fixups['lanes']})", flush=True)
+            summary.append({"iter": it, "bytes": size, "ok": True})
+    print(f"soak PASSED (kernel fixup lanes exercised: {fixups['lanes']})")
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"iters": summary, "fixup_lanes": fixups["lanes"],
+                       "backend": "host-only" if tpu is None else
+                       "tpu+host"}, f, indent=1)
 
 
 if __name__ == "__main__":

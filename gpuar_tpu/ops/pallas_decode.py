@@ -258,11 +258,13 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     def step(it, carries):
         carries = list(carries)
         for wi in range(unroll):
-            if wi % REFILL_WORDS == 0:
-                # Fixed-cadence refill: [cursor, cursor+8) covers the next
-                # REFILL_WORDS * 4 symbols (<= 16 bits each) plus the
-                # carried 2-word window.
-                for s in range(streams):
+            # Fixed-cadence refill: [cursor, cursor+8) covers the next
+            # REFILL_WORDS * 4 symbols (<= 16 bits each) plus the carried
+            # 2-word window.  Streams refill on STAGGERED words (stream s
+            # at wi % REFILL_WORDS == s % REFILL_WORDS) so the refill
+            # bursts spread across symbol steps instead of bunching.
+            for s in range(streams):
+                if wi % REFILL_WORDS == s % REFILL_WORDS:
                     refill(s, carries[s][3] >> 5)
             wt = it * unroll + wi
             for s in range(streams):
