@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted compression: complete "
                         "packets already in the output are kept")
+    p.add_argument("--debug", action="store_true",
+                   help="decompress with the kernel's debug checks: coder "
+                        "invariants + bitstream-overrun detection per "
+                        "packet (reference -D_DEBUG parity); corrupt "
+                        "packets raise instead of decoding garbage")
     p.add_argument("--nointeractive", action="store_true",
                    help="suppress progress output")
     p.add_argument("--json", action="store_true",
@@ -49,6 +54,8 @@ def make_compressor(args):
     kwargs = {}
     if args.batch_packets:
         kwargs["super_batch_packets"] = args.batch_packets
+    if getattr(args, "debug", False):
+        kwargs["debug"] = True
     if args.host:
         from gpuar_tpu.pipeline import HostCompressor
         return HostCompressor(**kwargs)
@@ -87,6 +94,11 @@ def main(argv=None) -> int:
         parser.error("--host and --multihost are mutually exclusive")
     if args.resume and args.mode == "d":
         parser.error("--resume only applies to compression (mode 'c')")
+    if args.debug and args.mode != "d":
+        parser.error("--debug only applies to decompression (mode 'd')")
+    if args.debug and args.host:
+        parser.error("--debug requires the accelerator decode path "
+                     "(drop --host)")
     monitor = ProgressMonitor(enabled=not args.nointeractive and not args.json)
     compressor = make_compressor(args)
 

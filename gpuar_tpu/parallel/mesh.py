@@ -94,18 +94,21 @@ def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
     return jax.jit(fn)
 
 
-def _sharded_decode(mesh, tile, packet_size, out_groups, interpret):
+def _sharded_decode(mesh, tile, packet_size, out_groups, interpret,
+                    debug=False):
     call = functools.partial(
         pallas_decode._decode_call,
         tile=tile, packet_size=packet_size, out_groups=out_groups,
-        interpret=interpret,
+        interpret=interpret, debug=debug,
     )
     if mesh.devices.size == 1:
         return call
+    out_specs = (P("data", None), P(None, "data")) if debug \
+        else P("data", None)
     fn = jax.shard_map(
         call, mesh=mesh,
         in_specs=(P("data", None), P(None, "data")),
-        out_specs=P("data", None),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -119,13 +122,17 @@ class MeshCodec:
 
     def __init__(self, mesh: Mesh | None = None, tile: int = 1024,
                  packet_size: int = UNCOMPRESSED_PACKET_SIZE,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, debug: bool = False):
         self.mesh = mesh or make_mesh()
         self.tile = tile
         self.packet_size = packet_size
         if interpret is None:
             interpret = self.mesh.devices.flat[0].platform == "cpu"
         self.interpret = interpret
+        # debug=True decodes through the flag-gated kernel variant: the
+        # reference's -D_DEBUG coder invariants plus bitstream-overrun
+        # detection per packet (ContainerError instead of silent garbage).
+        self.debug = debug
         enable_compilation_cache()
         self.out_groups, self.out_words = pallas_encode.out_geometry(packet_size)
         self.n_devices = self.mesh.devices.size
@@ -133,7 +140,8 @@ class MeshCodec:
         enc = _sharded_encode(
             self.mesh, tile, packet_size, self.out_groups, interpret)
         dec = _sharded_decode(
-            self.mesh, tile, packet_size, self.out_groups, interpret)
+            self.mesh, tile, packet_size, self.out_groups, interpret,
+            debug=debug)
 
         # The per-batch entropy sort/unsort permutations run on-device
         # (XLA row gathers are bandwidth-trivial; the equivalent host
@@ -148,6 +156,10 @@ class MeshCodec:
         def dec_sorted(packets32, sizes, order, inv):
             out = dec(jnp.take(packets32, order, axis=0),
                       jnp.take(sizes, order, axis=1))
+            if debug:
+                out, flags = out
+                return (jnp.take(out, inv, axis=0),
+                        jnp.take(flags, inv, axis=1))
             return jnp.take(out, inv, axis=0)
 
         self._enc = enc
@@ -223,6 +235,9 @@ class MeshCodec:
         sz[0, :n] = raw_sizes
         out = self._dec_sorted(jnp.asarray(packets32), jnp.asarray(sz),
                                jnp.asarray(order), jnp.asarray(inv))
+        if self.debug:
+            out, flags = out
+            return (out, flags, comp_len), n
         return out, n
 
     def decode_wait(self, handle) -> np.ndarray:
@@ -233,6 +248,19 @@ class MeshCodec:
         mutate the decoded bytes must ``.copy()`` it themselves.
         """
         out, n = handle
+        if self.debug:
+            out, flags, comp_len = out
+            flags = np.asarray(flags)
+            overrun = flags[1, :n] > comp_len.astype(np.int64) * 8 + 16
+            bad = np.nonzero((flags[0, :n] != 0) | overrun)[0]
+            if bad.size:
+                from gpuar_tpu import container
+
+                raise container.ContainerError(
+                    "Corrupt packet data: coder invariant violation or "
+                    f"bitstream overrun in packets {bad[:8].tolist()}"
+                    f"{'...' if bad.size > 8 else ''}"
+                )
         raw = np.ascontiguousarray(
             np.asarray(out)[:n]).view(np.uint8)[:, : self.packet_size]
         # A contiguous row slice is a view keeping the whole padded device

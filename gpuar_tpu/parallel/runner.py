@@ -22,7 +22,7 @@ from gpuar_tpu.parallel.mesh import MeshCodec, make_mesh
 class TPUCompressor(Compressor):
     def __init__(self, device_index: int | None = None,
                  super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
-                 tile: int = 1024):
+                 tile: int = 1024, debug: bool = False):
         # Local devices only: in a multi-host run each process codes its own
         # file range on its own chips (DistributedCompressor handles the
         # cross-host splice); a global-device mesh would be unaddressable.
@@ -33,7 +33,11 @@ class TPUCompressor(Compressor):
             if device_index < 0 or device_index >= len(devices):
                 raise ValueError(f"no device {device_index}")
             devices = [devices[device_index]]
-        self.codec = MeshCodec(make_mesh(devices), tile=tile)
+        # debug: decompress through the flag-gated kernel variant (the
+        # reference's -D_DEBUG coder checks + bitstream-overrun detection)
+        # — corrupt-but-well-framed packets raise instead of decoding to
+        # silent garbage.
+        self.codec = MeshCodec(make_mesh(devices), tile=tile, debug=debug)
         # Round the super-batch to the mesh lane quantum.
         q = self.codec.lane_quantum
         super_batch_packets = max(q, super_batch_packets // q * q)

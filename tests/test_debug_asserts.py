@@ -62,6 +62,49 @@ def test_debug_decode_flags_corrupt_packet(rng):
                             interpret=True, debug=True)
 
 
+def test_mesh_debug_decode_flags_corrupt_packet(rng):
+    """The debug variant works through the sharded MeshCodec path (what
+    TPUCompressor(debug=True) / the CLI --debug flag use)."""
+    import jax
+
+    from gpuar_tpu.parallel.mesh import MeshCodec, make_mesh
+
+    data = np.zeros((2, PSIZE), np.uint8)
+    data[0] = rng.integers(0, 256, PSIZE, np.uint8)
+    packets, lens = _packets(data)
+    sizes = np.full(2, PSIZE, np.int32)
+    codec = MeshCodec(make_mesh(jax.devices()[:2]), tile=8,
+                      packet_size=PSIZE, debug=True)
+    # Clean batch decodes fine.
+    out = codec.decode(packets, sizes)
+    assert np.array_equal(np.asarray(out), data)
+    # Noise body under an intact frame raises.
+    corrupt = packets.copy()
+    corrupt[1, 4: lens[1]] = rng.integers(0, 256, lens[1] - 4, np.uint8)
+    with pytest.raises(container.ContainerError, match="Corrupt packet"):
+        codec.decode(corrupt, sizes)
+
+
+def test_cli_debug_flag_validation(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    src = tmp_path / "x.bin"
+    src.write_bytes(b"hello")
+    for bad in (["c", f"--in={src}", "--debug"],
+                ["d", f"--in={src}", "--debug", "--host"]):
+        r = subprocess.run(
+            [_sys.executable, "-m", "gpuar_tpu.cli", *bad,
+             "--nointeractive"],
+            capture_output=True, text=True,
+            cwd=str(FIXED_REPO_ROOT))
+        assert r.returncode == 2
+        assert "--debug" in r.stderr
+
+
+FIXED_REPO_ROOT = __import__("pathlib").Path(__file__).parent.parent
+
+
 def test_coder_invariants_hold_for_arbitrary_streams(rng):
     """Sanity for the docstring claim: random bit strings framed as
     packets decode without tripping the invariant flags (the coder
