@@ -49,6 +49,10 @@ CHUNK_WORDS = 32   # output words per grid time-chunk (refill-window pacing)
 
 U16 = 0xFFFF
 STREAMS = 2        # independent interleaved lane-slices per kernel
+PHASE_SPLIT = False  # search/search/scalar/scalar phase layout: measured
+                     # WORSE than full-step interleave (0.82 vs 0.85 GB/s,
+                     # same-session A/B) — Mosaic schedules the plain
+                     # per-stream step order better; kept as a probe knob
 UNROLL_WORDS = 4   # words decoded per scalar-loop iteration
 REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
 # symbols consuming at most REFILL_WORDS*2 words; with the +2-word carry
@@ -164,7 +168,15 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         def _():
             refill_full(s, rb)
 
-    def sym_step(si, sizes_s, t, carry):
+    def search_step(si, sizes_s, t, carry):
+        """Table half of a symbol step: unscale, fused search, update.
+
+        Split from scalar_step so the two streams' phases can be laid out
+        search/search/scalar/scalar — each table traversal's latency then
+        sits under the OTHER stream's table issue, and the two scalar
+        chains interleave with each other, instead of every stream
+        serialising its own search -> scalar dependency back-to-back.
+        """
         lower, upper, code, bitpos, w0, w1, flag, wacc = carry
         active = t < sizes_s
         cum = 256 + t
@@ -202,6 +214,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # increment is 1 << 8.
         inc = active.astype(i32) << 8
         Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
+        return (active, cum, cum_s, span, unscaled, low, high, sym)
+
+    def scalar_step(si, t, part, carry):
+        """Renormalisation / bit-window half of a symbol step."""
+        lower, upper, code, bitpos, w0, w1, flag, wacc = carry
+        active, cum, cum_s, span, unscaled, low, high, sym = part
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16
@@ -269,12 +287,21 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             wt = it * unroll + wi
             for s in range(streams):
                 carries[s] = carries[s][:7] + (zeros,)
-            # Streams interleave per symbol: their dependency chains are
-            # independent, hiding the serial renorm/div latency.
+            # Phase layout per symbol position (PHASE_SPLIT: all streams'
+            # table searches, then all scalar halves — see search_step;
+            # otherwise each stream's full step in turn).
             for j in range(4):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
-                for s in range(streams):
-                    carries[s] = sym_step(s, sizes_s[s], t, carries[s])
+                if PHASE_SPLIT:
+                    parts = [search_step(s, sizes_s[s], t, carries[s])
+                             for s in range(streams)]
+                    for s in range(streams):
+                        carries[s] = scalar_step(s, t, parts[s],
+                                                 carries[s])
+                else:
+                    for s in range(streams):
+                        part = search_step(s, sizes_s[s], t, carries[s])
+                        carries[s] = scalar_step(s, t, part, carries[s])
             # The store row is uniform across lanes: plain dynamic store.
             for s in range(streams):
                 out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][7]
