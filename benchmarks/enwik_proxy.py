@@ -24,6 +24,9 @@ VOCAB_SIZE = 8192
 # 4.31 bits/byte).
 SHA256_1M = "d618327570cf6feba1084a6bda4f413e7d1641b1404479705b5dcc8a3f0295f8"
 SHA256_16M = "c4bf04ed88a0900672b73d05903eefef015e7e732136d24d5dc4224245c4ca32"
+# The canonical corpus: exactly enwik8's 100,000,000 bytes.
+SHA256_100M = \
+    "85f2b42135cfabd6f3044206196814926e4b2ea08249df31a21cb37cf03ff307"
 
 _CONS = "bcdfghjklmnprstvwz"
 _VOW = "aeiou"

@@ -81,6 +81,10 @@ def make_compressor(args):
     except Exception as e:  # no usable accelerator: fall back like main.cpp:142
         print(f"Attention: accelerator unavailable ({e}); "
               "executing codec on host.", file=sys.stderr)
+        if kwargs.pop("debug", False):
+            print("Attention: --debug needs the accelerator decode path; "
+                  "host fallback decodes without the kernel debug checks.",
+                  file=sys.stderr)
         from gpuar_tpu.pipeline import HostCompressor
         return HostCompressor(**kwargs)
 

@@ -37,6 +37,49 @@ def _cli(args, cwd):
     )
 
 
+def test_packet_reader_block_boundaries(rng):
+    """_PacketReader must parse packets that straddle its block fills
+    (header split across blocks, body split across blocks) identically
+    to a whole-buffer parse."""
+    import io
+
+    from gpuar_tpu import pipeline
+
+    data = rng.integers(0, 256, 40 * P + 123, np.uint8).tobytes()
+    from gpuar_tpu import native
+
+    body = native.encode_stream(data)
+    # Tiny blocks force every straddle case; batch sizes force reuse of
+    # the buffered remainder across read_batch calls.
+    for block in (5, 64, 1000):
+        reader = pipeline._PacketReader(io.BytesIO(body), block_size=block)
+        got = []
+        while True:
+            packets, raw_sizes = reader.read_batch(3)
+            if packets is None:
+                break
+            for row, r in zip(packets, raw_sizes):
+                total = int(row[0]) | (int(row[1]) << 8)
+                got.append((bytes(row[:total]), int(r)))
+        whole = list(__import__("gpuar_tpu.container", fromlist=["x"])
+                     .read_packets(io.BytesIO(body)))
+        assert [g[0] for g in got] == whole
+        assert sum(g[1] for g in got) == len(data)
+
+
+def test_packet_reader_truncation_mid_block(rng):
+    import io
+
+    from gpuar_tpu import container, native, pipeline
+
+    body = native.encode_stream(
+        rng.integers(0, 256, 3 * P, np.uint8).tobytes())
+    reader = pipeline._PacketReader(io.BytesIO(body[:-5]), block_size=100)
+    with pytest.raises(container.ContainerError, match="truncated packet"):
+        while reader.read_batch(8)[0] is not None:
+            pass
+
+
 def test_cli_rejects_non_gip(tmp_path, repo_root):
     bad = tmp_path / "bad.gip"
     bad.write_bytes(b"this is not a gip file at all, not even close")
