@@ -480,25 +480,32 @@ def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
     )
     if debug:
         out, flags = out
-        flags = np.asarray(flags)
-        # Framed total per packet (u16 LE at offset 0) -> available bits;
-        # the decoder's cursor starts at 48 (header word + 16 priming
-        # bits) and must never pass the packet end on a valid stream.
-        total_bits = (packets[:, 0].astype(np.int64)
-                      | (packets[:, 1].astype(np.int64) << 8)) * 8
-        # The decoder legitimately reads up to 16 lookahead bits past the
-        # written stream (initializeDecoder primes a 16-bit code window;
-        # writeRemaining flushes fewer tail bits) — measured clean slack
-        # is 7..13 bits.  Anything past that means the stream ran dry.
-        overrun = flags[1, :n] > total_bits + 16
-        bad = np.nonzero((flags[0, :n] != 0) | overrun)[0]
-        if bad.size:
-            from gpuar_tpu import container
-
-            raise container.ContainerError(
-                "Corrupt packet data: coder invariant violation or "
-                f"bitstream overrun in packets {bad[:8].tolist()}"
-                f"{'...' if bad.size > 8 else ''}"
-            )
+        comp_len = (packets[:, 0].astype(np.int64)
+                    | (packets[:, 1].astype(np.int64) << 8))
+        check_debug_flags(np.asarray(flags), comp_len, n)
     raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, : packet_size]
     return raw[:n].copy()
+
+
+def check_debug_flags(flags: np.ndarray, comp_len: np.ndarray,
+                      n: int) -> None:
+    """Raise ContainerError for lanes whose debug flags fired.
+
+    flags row 0: in-kernel invariant violations (the reference's -D_DEBUG
+    checks).  Row 1: final bit cursor — compared against the framed packet
+    length (`comp_len` bytes): the decoder legitimately reads up to 16
+    lookahead bits past the written stream (initializeDecoder primes a
+    16-bit code window; writeRemaining flushes fewer tail bits — measured
+    clean slack 7..13 bits), so anything beyond +16 means the stream ran
+    dry: the detectable signature of a corrupt well-framed packet.
+    """
+    overrun = flags[1, :n] > np.asarray(comp_len, np.int64)[:n] * 8 + 16
+    bad = np.nonzero((flags[0, :n] != 0) | overrun)[0]
+    if bad.size:
+        from gpuar_tpu import container
+
+        raise container.ContainerError(
+            "Corrupt packet data: coder invariant violation or "
+            f"bitstream overrun in packets {bad[:8].tolist()}"
+            f"{'...' if bad.size > 8 else ''}"
+        )

@@ -250,17 +250,7 @@ class MeshCodec:
         out, n = handle
         if self.debug:
             out, flags, comp_len = out
-            flags = np.asarray(flags)
-            overrun = flags[1, :n] > comp_len.astype(np.int64) * 8 + 16
-            bad = np.nonzero((flags[0, :n] != 0) | overrun)[0]
-            if bad.size:
-                from gpuar_tpu import container
-
-                raise container.ContainerError(
-                    "Corrupt packet data: coder invariant violation or "
-                    f"bitstream overrun in packets {bad[:8].tolist()}"
-                    f"{'...' if bad.size > 8 else ''}"
-                )
+            pallas_decode.check_debug_flags(np.asarray(flags), comp_len, n)
         raw = np.ascontiguousarray(
             np.asarray(out)[:n]).view(np.uint8)[:, : self.packet_size]
         # A contiguous row slice is a view keeping the whole padded device
