@@ -357,9 +357,10 @@ def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
                  interpret=False, debug=False):
     """Decode packets32 [n_lanes, out_words] i32 (u8 view = the framed
     bitstreams) -> raw words [n_lanes, p_words] i32 (u8 view = the bytes);
-    with debug=True returns (raw_words, flags [1, n_lanes]) where a lane
-    flags on the reference's -D_DEBUG conditions (range inversion /
-    symbol-search failure, src/gpuar_kernel.cu:290-298,758-762).
+    with debug=True returns (raw_words, flags [2, n_lanes]): row 0 flags
+    the reference's -D_DEBUG conditions (range inversion / symbol-search
+    failure, src/gpuar_kernel.cu:290-298,758-762), row 1 is the final bit
+    cursor for the host-side overrun check (check_debug_flags).
 
     Layout work (byte order, tile interleave, output transpose) runs on
     the device — the host only reinterprets dtypes.
