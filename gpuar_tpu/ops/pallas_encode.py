@@ -60,6 +60,12 @@ MAX_RUN_BITS = 30  # in-kernel underflow-run bound per drain (measured max
                    # across corpora: 22); longer runs flag the lane for
                    # bit-identical host re-encode
 UNROLL_WORDS = 8   # input words coded per scalar-loop iteration
+DUMP_WORDS = 2     # input words between ring dumps (swept 1/2/4 on-chip:
+                   # 1.07 -> 1.11 GB/s); the dump parity-slot
+                   # select drains up to 16 ring words in one pass, and a
+                   # transient live span past RING trips the error flag
+                   # (needs a sustained ~46-bit/symbol burst: adversarial
+                   # content only, host re-encode keeps output identical)
 STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # latency-bound (unroll=8 already hides the chain);
                    # swept 1/2/4 on-chip, 1 wins
@@ -107,7 +113,7 @@ def _append(acc, nbuf, val, n):
 
 def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                    *scratch, tile, steps_per_chunk, n_chunks, out_groups,
-                   unroll, streams):
+                   unroll, streams, dump_words):
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     w = tile // streams  # lanes per stream slice
@@ -290,8 +296,8 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
         """UNROLL_WORDS words (4 symbols each) per scalar-loop iteration:
         the loop carries a measured ~470 ns/iteration fixed cost
         (benchmarks/probe_model.py), so the serial coder is unrolled to
-        amortise it.  The ring dump keeps its every-4-symbols cadence
-        (same <= 16-slot live-span bound)."""
+        amortise it.  The ring dump runs every DUMP_WORDS input words,
+        draining in whole 8-word groups (up to 16 per pass)."""
         carries = list(carries)
         for wi in range(unroll):
             wt = it * unroll + wi
@@ -303,11 +309,14 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                     sym = jnp.where(active, (w_ins[si] >> (j * 8)) & 0xFF, 0)
                     carries[si] = sym_step(si, t, sym, active, carries[si])
 
+            if wi % dump_words != dump_words - 1:
+                continue
             for si in range(streams):
                 lower, upper, under, acc, nbuf, wcur, wbase, err = \
                     carries[si]
                 pend = wcur - wbase
-                drained = jnp.where(pend >= 8, wbase + 8, wbase)
+                drained = wbase + jnp.where(
+                    pend >= 16, 16, jnp.where(pend >= 8, 8, 0))
                 dump_sched(si, wbase, drained)
                 err = err | (pend > RING)
                 carries[si] = (lower, upper, under, acc, nbuf, wcur,
@@ -426,6 +435,7 @@ def _encode_big2d(words, sizes, *, tile, packet_size, out_groups,
         # unrolled body; only the compiled TPU path wants the unroll.
         unroll=1 if interpret else UNROLL_WORDS,
         streams=streams,
+        dump_words=1 if interpret else DUMP_WORDS,
     )
     grid = (n_tiles, n_chunks)
     return pl.pallas_call(
