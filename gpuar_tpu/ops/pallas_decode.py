@@ -53,7 +53,9 @@ PHASE_SPLIT = False  # search/search/scalar/scalar phase layout: measured
                      # WORSE than full-step interleave (0.82 vs 0.85 GB/s,
                      # same-session A/B) — Mosaic schedules the plain
                      # per-stream step order better; kept as a probe knob
-UNROLL_WORDS = 4   # words decoded per scalar-loop iteration
+UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (with 2
+                   # interleaved streams the loop body already carries 16
+                   # symbol steps; swept 2/4/8/16 on-chip, 2 edges out 4)
 REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
 # symbols consuming at most REFILL_WORDS*2 words; with the +2-word carry
 # window everything must stay inside the 8-word ring.
