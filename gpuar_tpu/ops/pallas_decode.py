@@ -140,22 +140,32 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     # per-lane cursor rows, taken once per chunk over ALL streams.
     # Worst-case cursor growth within one chunk: <= 16 bits/symbol =
     # steps_per_chunk/16 rows, +3 rows of ring lookahead/alignment slack.
+    # Two window tiers: heterogeneous batches (e.g. mixed text files)
+    # spread the hull past the tight window but usually not to the full
+    # range — the mid tier catches them before the full-range fallback.
     GROW = steps_per_chunk // 16 + 3
     WIN = min((GROW + WIN_PAD) & ~7, out_groups)
-    wrows = jax.lax.broadcasted_iota(i32, (WIN, w), 0)
+    WIN_MID = min(((GROW + WIN_PAD) * 4) & ~7, out_groups)
     alive0 = (t_chunk * steps_per_chunk) < raw_sizes
     rows0 = st[3:4, :] >> 8          # bitpos -> word -> group row
-    klo = jnp.min(jnp.where(alive0, rows0, jnp.int32(1 << 20)))
+    klo0 = jnp.min(jnp.where(alive0, rows0, jnp.int32(1 << 20)))
     khi = jnp.max(jnp.where(alive0, rows0, jnp.int32(0)))
-    klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
-    klo = pl.multiple_of(klo, 8)
-    fast = (khi + GROW) <= (klo + WIN)
 
-    def refill_win(s, rb):
+    def clamp(k, win):
+        k = jnp.clip(k, 0, out_groups - win) & ~7
+        return pl.multiple_of(k, 8)
+
+    klo = clamp(klo0, WIN)
+    klo_m = clamp(klo0, WIN_MID)
+    fast = (khi + GROW) <= (klo + WIN)
+    mid = (khi + GROW) <= (klo_m + WIN_MID)
+
+    def refill_win(s, rb, base, win):
         lo = los[s]
+        wrows = jax.lax.broadcasted_iota(i32, (win, w), 0)
         for j in range(8):
-            colj = in_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w]
-            wj = (klo + wrows) * 8 + j
+            colj = in_ref[pl.ds(base, win), j * tile + lo: j * tile + lo + w]
+            wj = (base + wrows) * 8 + j
             inr = (wj >= rb) & (wj < rb + 8)
             rings[s][j: j + 1, :] = jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
@@ -164,9 +174,13 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     def refill(s, rb):
         @pl.when(fast)
         def _():
-            refill_win(s, rb)
+            refill_win(s, rb, klo, WIN)
 
-        @pl.when(jnp.logical_not(fast))
+        @pl.when(jnp.logical_not(fast) & mid)
+        def _():
+            refill_win(s, rb, klo_m, WIN_MID)
+
+        @pl.when(jnp.logical_not(fast) & jnp.logical_not(mid))
         def _():
             refill_full(s, rb)
 

@@ -180,37 +180,51 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
     # Divergent batches fall back to the full-range scan — identical
     # output either way.  Worst-case growth of a write front within one
     # chunk: <= 16 bits/symbol = steps_per_chunk/16 rows, +3 rows slack.
+    # Two window tiers (see pallas_decode): heterogeneous batches spread
+    # the write-front hull past the tight window but rarely to the full
+    # range — the mid tier catches them before the full-range fallback.
     GROW = steps_per_chunk // 16 + 3
     WIN = min((GROW + WIN_PAD) & ~7, out_groups)
-    wrows = jax.lax.broadcasted_iota(i32, (WIN, w), 0)
+    WIN_MID = min(((GROW + WIN_PAD) * 4) & ~7, out_groups)
     wb0 = st[6:7, :]
     alive0 = (t_chunk * steps_per_chunk) < sizes
     include = alive0 | ((st[5:6, :] - wb0) >= 8)
-    klo = (jnp.min(jnp.where(include, wb0, jnp.int32(1 << 20))) - 1) >> 3
+    klo0 = (jnp.min(jnp.where(include, wb0, jnp.int32(1 << 20))) - 1) >> 3
     khi = (jnp.max(jnp.where(include, wb0, jnp.int32(1))) - 1) >> 3
-    # The dynamic sublane start must be 8-aligned (i32 sublane tiling).
-    klo = jnp.clip(klo, 0, out_groups - WIN) & ~7
-    klo = pl.multiple_of(klo, 8)
-    fast = (khi + GROW) <= (klo + WIN)
 
-    def dump_win(si, wbase, drained):
+    def clamp(k, win):
+        # The dynamic sublane start must be 8-aligned (i32 sublane tiling).
+        k = jnp.clip(k, 0, out_groups - win) & ~7
+        return pl.multiple_of(k, 8)
+
+    klo = clamp(klo0, WIN)
+    klo_m = clamp(klo0, WIN_MID)
+    fast = (khi + GROW) <= (klo + WIN)
+    mid = (khi + GROW) <= (klo_m + WIN_MID)
+
+    def dump_win(si, wbase, drained, base, win):
         lo = los[si]
         ring = rings[si]
+        wrows = jax.lax.broadcasted_iota(i32, (win, w), 0)
         for j in range(8):
-            wj = (klo + wrows) * 8 + j
+            wj = (base + wrows) * 8 + j
             inr = (wj >= wbase) & (wj < drained)
             par = wj & 8
             val = jnp.where(par == 0, ring[j:j + 1, :], ring[j + 8:j + 9, :])
-            colj = out_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w]
-            out_ref[pl.ds(klo, WIN), j * tile + lo: j * tile + lo + w] = \
+            colj = out_ref[pl.ds(base, win), j * tile + lo: j * tile + lo + w]
+            out_ref[pl.ds(base, win), j * tile + lo: j * tile + lo + w] = \
                 jnp.where(inr, val, colj)
 
     def dump_sched(si, wbase, drained):
         @pl.when(fast)
         def _():
-            dump_win(si, wbase, drained)
+            dump_win(si, wbase, drained, klo, WIN)
 
-        @pl.when(jnp.logical_not(fast))
+        @pl.when(jnp.logical_not(fast) & mid)
+        def _():
+            dump_win(si, wbase, drained, klo_m, WIN_MID)
+
+        @pl.when(jnp.logical_not(fast) & jnp.logical_not(mid))
         def _():
             dump(si, wbase, drained)
 
