@@ -60,9 +60,10 @@ REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
 # symbols consuming at most REFILL_WORDS*2 words; with the +2-word carry
 # window everything must stay inside the 8-word ring.
 assert REFILL_WORDS * 2 + 2 < 8 + 1
-WIN_PAD = 15       # refill hull-window padding rows (see refill_win);
-                   # swept 39/23/15 on-chip: 15 wins (tighter window =
-                   # cheaper masked refill, fallback check keeps it safe)
+WIN_PAD = 7        # refill hull-window padding rows (see refill_win);
+                   # swept 39/23/15/7 on-chip: with the mid-tier window
+                   # as the spillover, the tightest fast window wins
+                   # (tiers only change how many rows the passes scan)
 # The word loop runs (chunk_words / unroll) iterations; a non-divisor would
 # silently drop the tail words of every chunk.
 assert CHUNK_WORDS % UNROLL_WORDS == 0
