@@ -384,23 +384,39 @@ class DistributedCompressor:
             _barrier("raw-file-sized")
 
             with open(dst, "r+b") as fout:
-                for lo in range(first, last,
-                                self.backend.super_batch_packets):
-                    hi = min(lo + self.backend.super_batch_packets, last)
-                    with io:
-                        packets, raw_sizes = _load_packets(body, index, lo, hi)
-                    with process:
-                        raw = self.backend.decode_batch(packets, raw_sizes)
-                    with process:
-                        piece = _splice(raw, raw_sizes)
-                    with io:
-                        # Raw offsets come from the walked index, so short
-                        # non-final packets land at the right place.
-                        fout.seek(int(raw_index[lo]))
-                        fout.write(piece)
-                    local.processed_uncompressed_size += \
-                        int(raw_index[hi] - raw_index[lo])
-                    monitor.update(local)
+                # Same submit-ahead overlap as the local drive loop: the
+                # devices decode batch N+1 while this host splices and
+                # writes batch N.
+                spans = [
+                    (lo, min(lo + self.backend.super_batch_packets, last))
+                    for lo in range(first, last,
+                                    self.backend.super_batch_packets)
+                ]
+                pending = None  # (handle, raw_sizes, lo, hi)
+                for i in range(len(spans) + 1):
+                    handle = None
+                    if i < len(spans):
+                        lo, hi = spans[i]
+                        with io:
+                            packets, raw_sizes = _load_packets(
+                                body, index, lo, hi)
+                        with process:
+                            handle = (self.backend.decode_submit(
+                                packets, raw_sizes), raw_sizes, lo, hi)
+                    if pending is not None:
+                        h, raw_sizes, lo, hi = pending
+                        with process:
+                            raw = self.backend.decode_fetch(h)
+                            piece = _splice(raw, raw_sizes)
+                        with io:
+                            # Raw offsets come from the walked index, so
+                            # short non-final packets land right.
+                            fout.seek(int(raw_index[lo]))
+                            fout.write(piece)
+                        local.processed_uncompressed_size += \
+                            int(raw_index[hi] - raw_index[lo])
+                        monitor.update(local)
+                    pending = handle
         _barrier("raw-bodies-written")
         monitor.finish()
         info.processed_uncompressed_size = info.uncompressed_file_size
