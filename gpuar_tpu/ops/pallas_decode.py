@@ -48,6 +48,14 @@ from gpuar_tpu.ops.pallas_encode import _exact_div, out_geometry
 CHUNK_WORDS = 32   # output words per grid time-chunk (refill-window pacing)
 
 U16 = 0xFFFF
+DECODE_HULL = True  # speculative low-window decode: chunks are first run
+                    # with table ops on rows [0,128) only, with a
+                    # per-symbol miss check (unscaled >= C[128], C[128]
+                    # carried incrementally); any miss discards the chunk,
+                    # restores the table from a snapshot, re-runs it
+                    # full-range and makes the TILE sticky-full.  ASCII
+                    # tiles decode with half the table traffic; random
+                    # tiles pay one discarded chunk (1/64 of the work).
 STREAMS = 2        # independent interleaved lane-slices per kernel
 PHASE_SPLIT = False  # search/search/scalar/scalar phase layout: measured
                      # WORSE than full-step interleave (0.82 vs 0.85 GB/s,
@@ -93,7 +101,8 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     # slices of one) so Mosaic sees the streams' loads/stores as disjoint
     # and can interleave their dependency chains freely.
     Cs_all = scratch[:streams]
-    rings = scratch[streams:]
+    rings = scratch[streams: 2 * streams]
+    snaps = scratch[2 * streams:]
     iota256 = jax.lax.broadcasted_iota(i32, (256, w), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, w), 0)
     grows = jax.lax.broadcasted_iota(i32, (out_groups, w), 0)
@@ -134,6 +143,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             st[2:3, lo: lo + w] = _shr_u(w1, 16)   # code
             st[3:4, lo: lo + w] = zeros + 48       # bitpos (word 0 + 16)
             st[4:5, lo: lo + w] = zeros            # debug flag
+            st[5:6, lo: lo + w] = zeros            # sticky full-table mode
 
     raw_sizes = sizes_ref[:]
 
@@ -185,19 +195,18 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         def _():
             refill_full(s, rb)
 
-    def search_step(si, sizes_s, t, carry):
+    def search_step(si, sizes_s, t, carry, mode):
         """Table half of a symbol step: unscale, fused search, update.
 
         Split from scalar_step so the two streams' phases can be laid out
-        search/search/scalar/scalar — each table traversal's latency then
-        sits under the OTHER stream's table issue, and the two scalar
-        chains interleave with each other, instead of every stream
-        serialising its own search -> scalar dependency back-to-back.
+        search/search/scalar/scalar (a measured-worse probe layout); in
+        'win' mode the table ops touch only rows [0,128) and record a
+        per-lane miss flag when the true symbol lies above (see
+        DECODE_HULL).
         """
-        lower, upper, code, bitpos, w0, w1, flag, wacc = carry
+        lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc = carry
         active = t < sizes_s
         cum = 256 + t
-        Cs = Cs_all[si][:]
 
         # Symbol search (getUnscaledCode + getSymbolFromProbability,
         # :703-763) fused with the range query: C is strictly increasing,
@@ -212,31 +221,54 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # shared materialized mask) so every table traversal is a single
         # fused compare+select+reduce read.
         up = (unscaled << 8) | 255
-        packed = jnp.max(jnp.where(Cs <= up, Cs, -1), axis=0, keepdims=True)
+        inc = active.astype(i32) << 8
+        if mode == "win":
+            # unscaled >= C[128] means the symbol is outside the window:
+            # this lane's chunk output is garbage from here on — flag it;
+            # the chunk will be discarded and re-run full-range.
+            miss = miss | (active & (unscaled >= c128))
+            Cs = Cs_all[si][0:128, :]
+            packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                             axis=0, keepdims=True)
+            # sym == 127 falls through to the carried C[128].
+            high = _shr_u(
+                jnp.min(jnp.where(Cs > up, Cs, (c128 << 8) | 128),
+                        axis=0, keepdims=True),
+                8)
+            Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up, inc, 0)
+            # Every in-window symbol bumps C[128] (deferred for the rest
+            # of the high rows until chunk end).
+            c128 = c128 + active.astype(i32)
+        else:
+            Cs = Cs_all[si][:]
+            packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                             axis=0, keepdims=True)
+            # Sentinel (cum<<8)|255 >= every packed entry, so the
+            # sym == 255 case (high = implicit C[256] = cum) falls out of
+            # the same min.
+            high = _shr_u(
+                jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
+                        axis=0, keepdims=True),
+                8)
+            # Adaptive update (applySymbolRange tail, :286-288): i > sym
+            # is exactly "not le" (C strictly increasing); the packed
+            # count increment is 1 << 8.
+            Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
         low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
         sym = packed & 255           # its index IS the decoded symbol
-        # Sentinel (cum<<8)|255 >= every packed entry, so the sym == 255
-        # case (high = implicit C[256] = cum) falls out of the same min.
-        high = _shr_u(
-            jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
-                    axis=0, keepdims=True),
-            8)
         sym = jnp.where(active, sym, 0)
         # low <= high <= cum holds for every lane (active or stale), so the
         # downstream range math cannot overflow; inactive lanes are masked
-        # out of the carried state below.
-
-        # Adaptive update (applySymbolRange tail, :286-288): i > sym is
-        # exactly "not le" (C strictly increasing); the packed count
-        # increment is 1 << 8.
-        inc = active.astype(i32) << 8
-        Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
-        return (active, cum, cum_s, span, unscaled, low, high, sym)
+        # out of the carried state below.  The updated c128/miss travel in
+        # `part` — scalar_step folds them into the carry it returns.
+        return (active, cum, cum_s, span, unscaled, low, high, sym,
+                c128, miss)
 
     def scalar_step(si, t, part, carry):
         """Renormalisation / bit-window half of a symbol step."""
-        lower, upper, code, bitpos, w0, w1, flag, wacc = carry
-        active, cum, cum_s, span, unscaled, low, high, sym = part
+        lower, upper, code, bitpos, w0, w1, flag, _, _, wacc = carry
+        (active, cum, cum_s, span, unscaled, low, high, sym,
+         c128, miss) = part
 
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
         lo2 = (lower + _exact_div(low * span, cum_s)) & U16
@@ -286,11 +318,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         lower = jnp.where(active, lo3, lower)
         upper = jnp.where(active, up3, upper)
         code = jnp.where(active, code2, code)
-        return (lower, upper, code, bitpos, w0, w1, flag, wacc)
+        return (lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc)
 
     sizes_s = [raw_sizes[:, lo: lo + w] for lo in los]
 
-    def step(it, carries):
+    def step(it, carries, mode):
         carries = list(carries)
         for wi in range(unroll):
             # Fixed-cadence refill: [cursor, cursor+8) covers the next
@@ -303,66 +335,125 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                     refill(s, carries[s][3] >> 5)
             wt = it * unroll + wi
             for s in range(streams):
-                carries[s] = carries[s][:7] + (zeros,)
+                carries[s] = carries[s][:9] + (zeros,)
             # Phase layout per symbol position (PHASE_SPLIT: all streams'
             # table searches, then all scalar halves — see search_step;
             # otherwise each stream's full step in turn).
             for j in range(4):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
                 if PHASE_SPLIT:
-                    parts = [search_step(s, sizes_s[s], t, carries[s])
+                    parts = [search_step(s, sizes_s[s], t, carries[s],
+                                         mode)
                              for s in range(streams)]
                     for s in range(streams):
                         carries[s] = scalar_step(s, t, parts[s],
                                                  carries[s])
                 else:
                     for s in range(streams):
-                        part = search_step(s, sizes_s[s], t, carries[s])
+                        part = search_step(s, sizes_s[s], t, carries[s],
+                                           mode)
                         carries[s] = scalar_step(s, t, part, carries[s])
             # The store row is uniform across lanes: plain dynamic store.
             for s in range(streams):
-                out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][7]
+                out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][9]
         return tuple(carries)
 
-    # Seed each stream's carried bit window [widx, widx+2) once per chunk
-    # (the ring still covers it: the last refill of the previous chunk was
-    # at most 4 consumed words behind the cursor).
-    carries = []
-    for s, lo in enumerate(los):
-        bp0 = st[3:4, lo: lo + w]
-        wi0 = bp0 >> 5
-        rs = rings[s][:]
-        w0_0 = jnp.sum(rs * (iota8 == (wi0 & 7)).astype(i32),
-                       keepdims=True, axis=0)
-        w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
-                       axis=0, keepdims=True)
-        carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
-                        st[2:3, lo: lo + w], bp0, w0_0, w1_0,
-                        st[4:5, lo: lo + w] if debug else zeros, zeros))
-    carries = jax.lax.fori_loop(0, (steps_per_chunk // 4) // unroll,
-                                step, tuple(carries))
+    def run_chunk(mode):
+        """The chunk's whole symbol loop, state bridged through st (the
+        hull branches below cannot pass values directly).
 
-    @pl.when(t_chunk < n_chunks - 1)
-    def _save():
+        Seeds each stream's carried bit window [widx, widx+2) (the ring
+        still covers it: the last refill of the previous chunk was at
+        most 4 consumed words behind the cursor), runs the symbol loop,
+        then writes back st — unconditionally for 'full'; for 'win' only
+        when no lane missed the window (else the sticky row is set, the
+        table restored from its snapshot, and the caller re-runs full).
+        """
+        carries = []
         for s, lo in enumerate(los):
-            st[0:1, lo: lo + w] = carries[s][0]
-            st[1:2, lo: lo + w] = carries[s][1]
-            st[2:3, lo: lo + w] = carries[s][2]
-            st[3:4, lo: lo + w] = carries[s][3]
-            if debug:
-                st[4:5, lo: lo + w] = carries[s][6]
+            # Refresh the ring at the committed cursor BEFORE seeding the
+            # carried window: after a discarded speculative run the ring
+            # holds words from the discarded cursors, not these.
+            refill(s, st[3:4, lo: lo + w] >> 5)
+        for s, lo in enumerate(los):
+            bp0 = st[3:4, lo: lo + w]
+            wi0 = bp0 >> 5
+            rs = rings[s][:]
+            w0_0 = jnp.sum(rs * (iota8 == (wi0 & 7)).astype(i32),
+                           keepdims=True, axis=0)
+            w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
+                           axis=0, keepdims=True)
+            c128_0 = _shr_u(Cs_all[s][128:129, :], 8) if mode == "win" \
+                else zeros
+            carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
+                            st[2:3, lo: lo + w], bp0, w0_0, w1_0,
+                            st[4:5, lo: lo + w] if debug else zeros,
+                            c128_0, zeros, zeros))
+        carries = jax.lax.fori_loop(
+            0, (steps_per_chunk // 4) // unroll,
+            functools.partial(step, mode=mode), tuple(carries))
+
+        def save_st():
+            for s, lo in enumerate(los):
+                st[0:1, lo: lo + w] = carries[s][0]
+                st[1:2, lo: lo + w] = carries[s][1]
+                st[2:3, lo: lo + w] = carries[s][2]
+                st[3:4, lo: lo + w] = carries[s][3]
+                if debug:
+                    st[4:5, lo: lo + w] = carries[s][6]
+
+        if mode == "win":
+            missed = jnp.int32(0)
+            for s in range(streams):
+                missed = missed | jnp.max(carries[s][8].astype(i32))
+
+            @pl.when(missed == 0)
+            def _commit():
+                save_st()
+                # Deferred high-row update: every active symbol of this
+                # chunk incremented every row >= 128 by 1 << 8.
+                for s, lo in enumerate(los):
+                    cnt = jnp.clip(
+                        sizes_s[s] - t_chunk * steps_per_chunk,
+                        0, steps_per_chunk)
+                    Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
+                                             + (cnt << 8))
+
+            @pl.when(missed != 0)
+            def _discard():
+                st[5:6, :] = jnp.ones((1, tile), i32)
+                for s in range(streams):
+                    Cs_all[s][:] = snaps[s][:]
+        else:
+            save_st()
+
+    if DECODE_HULL:
+        sticky0 = jnp.max(st[5:6, :]) > 0
+
+        @pl.when(jnp.logical_not(sticky0))
+        def _try_windowed():
+            for s in range(streams):
+                snaps[s][:] = Cs_all[s][:]
+            run_chunk("win")
+
+        redo = jnp.max(st[5:6, :]) > 0
+
+        @pl.when(redo)
+        def _full():
+            run_chunk("full")
+    else:
+        run_chunk("full")
 
     if debug:
         @pl.when(t_chunk == n_chunks - 1)
         def _flags():
-            for s, lo in enumerate(los):
-                # Row 0: invariant flags; row 1: final bit cursor, which
-                # the host compares against the framed packet length to
-                # catch streams that ran dry (corrupt-but-well-framed
-                # packets cannot violate the coder invariants — AC
-                # decodes any bit string — but they CAN overrun).
-                flag_ref[0:1, lo: lo + w] = carries[s][6]
-                flag_ref[1:2, lo: lo + w] = carries[s][3]
+            # Row 0: invariant flags; row 1: final bit cursor, which the
+            # host compares against the framed packet length to catch
+            # streams that ran dry (corrupt-but-well-framed packets
+            # cannot violate the coder invariants — AC decodes any bit
+            # string — but they CAN overrun).
+            flag_ref[0:1, :] = st[4:5, :]
+            flag_ref[1:2, :] = st[3:4, :]
 
 
 @functools.partial(
@@ -452,6 +543,8 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
             + [pltpu.VMEM((256, tile // streams), jnp.int32)
                for _ in range(streams)]
             + [pltpu.VMEM((8, tile // streams), jnp.int32)
+               for _ in range(streams)]
+            + [pltpu.VMEM((256, tile // streams), jnp.int32)
                for _ in range(streams)]
         ),
         compiler_params=pltpu.CompilerParams(
