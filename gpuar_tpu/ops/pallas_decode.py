@@ -29,7 +29,10 @@ probe_decode_r2.py):
     per symbol, so one stream's dependency stalls hide under the
     others' work (and under the table passes);
   * an int16 table would halve table-pass traffic but the v5e VPU lowers
-    neither 16-bit reductions nor 16-bit ordered compares (measured).
+    neither 16-bit reductions nor 16-bit ordered compares (measured);
+  * DECODE_HULL: the speculative low-window bet (see the constant's
+    comment and ARCHITECTURE.md) — text-class tiles decode with half
+    the table traffic, misses are detected exactly and re-run.
 """
 
 from __future__ import annotations
