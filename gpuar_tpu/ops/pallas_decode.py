@@ -51,6 +51,13 @@ from gpuar_tpu.ops.pallas_encode import _exact_div, out_geometry
 CHUNK_WORDS = 32   # output words per grid time-chunk (refill-window pacing)
 
 U16 = 0xFFFF
+DUAL_TABLE = False  # half-height table probe: row r packs C[2r] |
+                    # C[2r+1] << 16 so every pass touches 128 rows.
+                    # MEASURED WORSE (random 0.71 vs 0.87, proxy neutral):
+                    # the symbol needs a count reduction (leL+leH) again
+                    # and three half-height chains + parity selects cost
+                    # more than the fused 2-chain 256-row form saves.
+                    # Kept as a documented negative-result probe knob.
 DECODE_HULL = True  # speculative low-window decode: chunks are first run
                     # with table ops on rows [0,128) only, with a
                     # per-symbol miss check (unscaled >= C[128], C[128]
@@ -107,6 +114,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     rings = scratch[streams: 2 * streams]
     snaps = scratch[2 * streams:]
     iota256 = jax.lax.broadcasted_iota(i32, (256, w), 0)
+    iota128 = jax.lax.broadcasted_iota(i32, (128, w), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, w), 0)
     grows = jax.lax.broadcasted_iota(i32, (out_groups, w), 0)
     zeros = jnp.zeros((1, w), i32)
@@ -131,9 +139,16 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # over the search mask then yields BOTH the range bound C[sym] and
         # the symbol itself, eliminating a whole sum-reduction per step.
         for s, lo in enumerate(los):
-            Cs_all[s][:] = jnp.broadcast_to(
-                (jnp.arange(256, dtype=i32) * 257)[:, None], (256, w)
-            )
+            if DUAL_TABLE:
+                # C[i] = i initially: row r = 2r | (2r+1) << 16.
+                base = jnp.arange(128, dtype=i32)
+                Cs_all[s][:] = jnp.broadcast_to(
+                    (2 * base | ((2 * base + 1) << 16))[:, None], (128, w)
+                )
+            else:
+                Cs_all[s][:] = jnp.broadcast_to(
+                    (jnp.arange(256, dtype=i32) * 257)[:, None], (256, w)
+                )
             refill_full(s, zeros)
             # initializeDecoder (src/gpuar_kernel.cu:582-603): code = the
             # first 16 stream bits; the stream starts after the 4-byte
@@ -223,42 +238,85 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # The compare is recomputed inside each consumer (instead of a
         # shared materialized mask) so every table traversal is a single
         # fused compare+select+reduce read.
-        up = (unscaled << 8) | 255
-        inc = active.astype(i32) << 8
-        if mode == "win":
-            # unscaled >= C[128] means the symbol is outside the window:
-            # this lane's chunk output is garbage from here on — flag it;
-            # the chunk will be discarded and re-run full-range.
-            miss = miss | (active & (unscaled >= c128))
-            Cs = Cs_all[si][0:128, :]
-            packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
-                             axis=0, keepdims=True)
-            # sym == 127 falls through to the carried C[128].
-            high = _shr_u(
-                jnp.min(jnp.where(Cs > up, Cs, (c128 << 8) | 128),
-                        axis=0, keepdims=True),
-                8)
-            Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up, inc, 0)
-            # Every in-window symbol bumps C[128] (deferred for the rest
-            # of the high rows until chunk end).
-            c128 = c128 + active.astype(i32)
+        if DUAL_TABLE:
+            if mode == "win":
+                miss = miss | (active & (unscaled >= c128))
+                rows, top = 64, c128
+                c128 = c128 + active.astype(i32)
+            else:
+                rows, top = 128, cum_s
+            P = Cs_all[si][0:rows, :]
+            Plow = P & U16
+            Phigh = _shr_u(P, 16)
+            leL = Plow <= unscaled       # 2r <= sym
+            leH = Phigh <= unscaled      # 2r + 1 <= sym
+            # Pair row at the symbol: P monotone, leL is a prefix mask.
+            maxP = jnp.max(jnp.where(leL, P, -1), axis=0, keepdims=True)
+            # sym + 1 = #{j: C[j] <= unscaled} over both packed halves.
+            sym = jnp.sum(leL.astype(i32) + leH.astype(i32),
+                          axis=0, keepdims=True) - 1
+            # Odd sym: C[sym+1] = next row's LOW half = min low over
+            # rows whose high entry lies above the symbol; its default
+            # (`top`) also covers sym == 2*rows-1 (C[2*rows] implicit).
+            nxt = jnp.min(jnp.where(leH, 0x7FFFFFFF, Plow),
+                          axis=0, keepdims=True)
+            nxt = jnp.minimum(nxt, top)
+            odd = sym & 1
+            low = jnp.where(odd > 0, _shr_u(maxP, 16), maxP & U16)
+            high = jnp.where(odd > 0, nxt, _shr_u(maxP, 16))
+            # Inactive lanes carry garbage through the search; clamp so
+            # the downstream products stay within i32 (active lanes are
+            # untouched: low <= high <= cum < 2**14).
+            low = jnp.where(active, low, 0)
+            high = jnp.where(active, high, 0)
+            # Suffix update from r* = sym >> 1 (closed form — see
+            # DUAL_TABLE): low halves bump for r > r*, high halves for
+            # r > r* or (r == r* and sym even); inactive lanes get the
+            # out-of-range sentinel.
+            rstarA = jnp.where(active, _shr_u(sym, 1), rows)
+            # A fresh iota at the window shape: slicing a materialized
+            # (128, w) iota crashes Mosaic's layout pass (round 2).
+            iotaR = jax.lax.broadcasted_iota(i32, (rows, w), 0)
+            gt = (iotaR > rstarA).astype(i32)
+            geH = gt | ((iotaR == rstarA) & (odd == 0)).astype(i32)
+            Cs_all[si][0:rows, :] = P + (gt | (geH << 16))
         else:
-            Cs = Cs_all[si][:]
-            packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
-                             axis=0, keepdims=True)
-            # Sentinel (cum<<8)|255 >= every packed entry, so the
-            # sym == 255 case (high = implicit C[256] = cum) falls out of
-            # the same min.
-            high = _shr_u(
-                jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
-                        axis=0, keepdims=True),
-                8)
-            # Adaptive update (applySymbolRange tail, :286-288): i > sym
-            # is exactly "not le" (C strictly increasing); the packed
-            # count increment is 1 << 8.
-            Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
-        low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
-        sym = packed & 255           # its index IS the decoded symbol
+            up = (unscaled << 8) | 255
+            inc = active.astype(i32) << 8
+            if mode == "win":
+                # unscaled >= C[128] means the symbol is outside the
+                # window: this lane's chunk output is garbage from here
+                # on — flag it; the chunk is discarded and re-run full.
+                miss = miss | (active & (unscaled >= c128))
+                Cs = Cs_all[si][0:128, :]
+                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                                 axis=0, keepdims=True)
+                # sym == 127 falls through to the carried C[128].
+                high = _shr_u(
+                    jnp.min(jnp.where(Cs > up, Cs, (c128 << 8) | 128),
+                            axis=0, keepdims=True),
+                    8)
+                Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up, inc, 0)
+                # Every in-window symbol bumps C[128] (deferred for the
+                # rest of the high rows until chunk end).
+                c128 = c128 + active.astype(i32)
+            else:
+                Cs = Cs_all[si][:]
+                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                                 axis=0, keepdims=True)
+                # Sentinel (cum<<8)|255 >= every packed entry, so the
+                # sym == 255 case (high = implicit C[256] = cum) falls
+                # out of the same min.
+                high = _shr_u(
+                    jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
+                            axis=0, keepdims=True),
+                    8)
+                # Adaptive update (applySymbolRange tail, :286-288):
+                # i > sym is exactly "not le" (C strictly increasing);
+                # the packed count increment is 1 << 8.
+                Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
+            low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
+            sym = packed & 255           # its index IS the symbol
         sym = jnp.where(active, sym, 0)
         # low <= high <= cum holds for every lane (active or stale), so the
         # downstream range math cannot overflow; inactive lanes are masked
@@ -386,8 +444,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                            keepdims=True, axis=0)
             w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
                            axis=0, keepdims=True)
-            c128_0 = _shr_u(Cs_all[s][128:129, :], 8) if mode == "win" \
-                else zeros
+            if mode == "win":
+                c128_0 = (Cs_all[s][64:65, :] & U16) if DUAL_TABLE \
+                    else _shr_u(Cs_all[s][128:129, :], 8)
+            else:
+                c128_0 = zeros
             carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
                             st[2:3, lo: lo + w], bp0, w0_0, w1_0,
                             st[4:5, lo: lo + w] if debug else zeros,
@@ -419,8 +480,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                     cnt = jnp.clip(
                         sizes_s[s] - t_chunk * steps_per_chunk,
                         0, steps_per_chunk)
-                    Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
-                                             + (cnt << 8))
+                    if DUAL_TABLE:
+                        Cs_all[s][64:128, :] = (Cs_all[s][64:128, :]
+                                                + cnt * 0x10001)
+                    else:
+                        Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
+                                                 + (cnt << 8))
 
             @pl.when(missed != 0)
             def _discard():
@@ -543,11 +608,13 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((8, tile), jnp.int32)]
-            + [pltpu.VMEM((256, tile // streams), jnp.int32)
+            + [pltpu.VMEM((128 if DUAL_TABLE else 256,
+                           tile // streams), jnp.int32)
                for _ in range(streams)]
             + [pltpu.VMEM((8, tile // streams), jnp.int32)
                for _ in range(streams)]
-            + [pltpu.VMEM((256, tile // streams), jnp.int32)
+            + [pltpu.VMEM((128 if DUAL_TABLE else 256,
+                           tile // streams), jnp.int32)
                for _ in range(streams)]
         ),
         compiler_params=pltpu.CompilerParams(
