@@ -65,16 +65,23 @@ def _pad_perm(order: np.ndarray, n_pad: int):
 
 
 def _entropy_order(data: np.ndarray) -> np.ndarray:
-    """Stable ordering of packets by a cheap compressibility proxy: the
-    number of distinct byte values in a 256-byte sample of each packet.
-    Exact ranking is unnecessary — only clustering matters."""
+    """Stable ordering of packets by a cheap compressibility proxy.
+
+    Primary key: whether the 256-byte sample contains a high-bit byte —
+    clustering high-byte-free packets into the same tiles lets the
+    encode kernel's [0,128)-row hull window hold for whole chunks on
+    mixed corpora (a sampled key is opportunistic: a missed high byte
+    only costs that tile the fast path, never correctness).  Secondary:
+    distinct byte count (write-front clustering for the dump windows).
+    """
     n = data.shape[0]
     if n <= 1 or data.shape[1] < 256:
         return np.arange(n)
     sample = data[:, :: max(data.shape[1] // 256, 1)][:, :256]
     s = np.sort(sample, axis=1)
     distinct = 1 + (s[:, 1:] != s[:, :-1]).sum(axis=1)
-    return np.argsort(distinct, kind="stable")
+    has_high = (s[:, -1] >= 128).astype(np.int32)
+    return np.argsort(has_high * 1024 + distinct, kind="stable")
 
 
 def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
