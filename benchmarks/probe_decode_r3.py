@@ -1,0 +1,163 @@
+"""Round-3 decode kernel probes: the table-pass floor and the fused update.
+
+Usage: python benchmarks/probe_decode_r3.py [--reps N] [--floor-only]
+
+What is measured (module globals of ops/pallas_decode.py, monkeypatched;
+every config decodes the same pre-encoded 64 MiB random corpus at the
+production shape — tile 1024, 8192-B packets):
+
+  * FLOOR — ABLATE_SCALAR + ABLATE_REFILL + DECODE_HULL off: only the
+    per-symbol table passes remain (search read + update write).  WRONG
+    OUTPUT by design, honest timing: this is the measured algorithmic
+    ceiling the real kernel is chasing (VERDICT r2 item 1).
+  * FUSE_UPDATE off/on x FUSE_K 1/2/4/8 — the deferred-update fold:
+    pending updates ride the search read (index-byte compares commute),
+    table write-back every K symbols.
+  * STREAMS 2 vs 3 (tile 1152 = 3 x 384 keeps whole-vreg slices) on the
+    best FUSE config.
+
+Bit-exactness is asserted for every non-floor config.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpuar_tpu.ops import pallas_decode, pallas_encode
+
+
+def corpus(n_packets=9216, psize=8192):
+    # 9216 = 9 x 1024 = 8 x 1152 = 12 x 768: divisible by every probed
+    # tile, so no inactive pad lanes skew any config's GB/s.
+    rng = np.random.default_rng(0xBE7C)
+    data = rng.integers(0, 256, (n_packets, psize), np.uint8)
+    sizes = np.full(n_packets, psize, np.int32)
+    og, _ = pallas_encode.out_geometry(psize)
+    wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
+    sz = jnp.asarray(sizes.reshape(1, -1))
+    pk32, lens, errs = pallas_encode._encode_call(
+        wd, sz, tile=1024, packet_size=psize, out_groups=og)
+    assert not np.asarray(errs).any()
+    packets = np.ascontiguousarray(np.asarray(pk32)).view(np.uint8)
+    return data, packets, sizes
+
+
+def time_decode(packets, sizes, data, *, tile, reps, check=True):
+    psize = data.shape[1]
+    og, ow = pallas_encode.out_geometry(psize)
+    bd = jnp.asarray(packets.view(np.int32))
+    sz = jnp.asarray(sizes.reshape(1, -1))
+    # fresh jit cache per config (knobs are globals, not traced args)
+    pallas_decode._decode_call.clear_cache()
+    out = pallas_decode._decode_call(
+        bd, sz, tile=tile, packet_size=psize, out_groups=og)
+    np.asarray(out[0:1, 0:1])
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = pallas_decode._decode_call(
+            bd, sz, tile=tile, packet_size=psize, out_groups=og)
+        np.asarray(out[0:1, 0:1])
+        ts.append(time.time() - t0)
+    if check:
+        raw = np.ascontiguousarray(np.asarray(out)).view(np.uint8)[:, :psize]
+        assert np.array_equal(raw, data), "bit mismatch"
+    return data.size / min(ts) / 1e9
+
+
+def run(name, packets, sizes, data, *, tile=1024, reps=5, check=True):
+    try:
+        g = time_decode(packets, sizes, data, tile=tile, reps=reps,
+                        check=check)
+        print(f"{name}: {g:.4f} GB/s", flush=True)
+        return g
+    except Exception as e:
+        print(f"{name}: FAIL {type(e).__name__}: {e}", flush=True)
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--floor-only", action="store_true")
+    ap.add_argument("--skip-floor", action="store_true")
+    ap.add_argument("--encode-floor", action="store_true")
+    args = ap.parse_args()
+    D = pallas_decode
+
+    data, packets, sizes = corpus()
+    saved = dict(FUSE_UPDATE=D.FUSE_UPDATE, FUSE_K=D.FUSE_K,
+                 STREAMS=D.STREAMS, DECODE_HULL=D.DECODE_HULL,
+                 ABLATE_SCALAR=D.ABLATE_SCALAR,
+                 ABLATE_REFILL=D.ABLATE_REFILL,
+                 PAIR14=D.PAIR14, UNROLL_WORDS=D.UNROLL_WORDS,
+                 PAIRED_DIV=D.PAIRED_DIV, FREE_RUN=D.FREE_RUN)
+    try:
+        # --- the floor: table passes only, full-range, no speculation ---
+        if not args.skip_floor:
+            D.ABLATE_SCALAR = True
+            D.ABLATE_REFILL = True
+            D.DECODE_HULL = False
+            run("FLOOR (search+update only)", packets, sizes, data,
+                reps=args.reps, check=False)
+            D.ABLATE_REFILL = False
+            run("FLOOR+refill (scalar ablated only)", packets, sizes, data,
+                reps=args.reps, check=False)
+            D.ABLATE_SCALAR = saved["ABLATE_SCALAR"]
+            D.ABLATE_REFILL = saved["ABLATE_REFILL"]
+            D.DECODE_HULL = saved["DECODE_HULL"]
+            if args.floor_only:
+                return
+
+        if args.encode_floor:
+            E = pallas_encode
+            og, _ = E.out_geometry(data.shape[1])
+            wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
+            sz = jnp.asarray(sizes.reshape(1, -1))
+
+            def time_enc(tag):
+                E._encode_call.clear_cache()
+                out = E._encode_call(wd, sz, tile=1024,
+                                     packet_size=data.shape[1],
+                                     out_groups=og)
+                np.asarray(out[1][0:1, 0:1])
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    out = E._encode_call(wd, sz, tile=1024,
+                                         packet_size=data.shape[1],
+                                         out_groups=og)
+                    np.asarray(out[1][0:1, 0:1])
+                    ts.append(time.time() - t0)
+                print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s",
+                      flush=True)
+
+            E.ABLATE_SCALAR = True
+            try:
+                time_enc("ENCODE FLOOR (model query+update only)")
+            finally:
+                E.ABLATE_SCALAR = False
+            time_enc("ENCODE real")
+            return
+
+        # --- final decode sweep: unroll / chunk on the pdiv winner ---
+        D.PAIRED_DIV, D.FREE_RUN = True, True
+        for unroll, streams, tile in ((2, 2, 1024), (4, 2, 1024),
+                                      (2, 3, 1152), (4, 3, 1152)):
+            D.UNROLL_WORDS = unroll
+            D.STREAMS = streams
+            run(f"REAL pdiv unroll={unroll} streams={streams} tile={tile}",
+                packets, sizes, data, tile=tile, reps=args.reps)
+    finally:
+        for k, v in saved.items():
+            setattr(D, k, v)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,12 +79,18 @@ def make_compressor(args):
         from gpuar_tpu.parallel.runner import TPUCompressor
         return TPUCompressor(device_index=args.device, **kwargs)
     except Exception as e:  # no usable accelerator: fall back like main.cpp:142
+        if kwargs.get("debug"):
+            # The user explicitly asked for corrupt-packet detection; a
+            # silent downgrade to the host path would hand them the
+            # reference's decode-to-garbage semantics instead.  Fail hard
+            # (mirrors the --debug/--host parser.error).
+            raise SystemExit(
+                f"Error: --debug requires the accelerator decode path, "
+                f"which is unavailable ({e}); rerun without --debug to "
+                f"accept the host fallback."
+            )
         print(f"Attention: accelerator unavailable ({e}); "
               "executing codec on host.", file=sys.stderr)
-        if kwargs.pop("debug", False):
-            print("Attention: --debug needs the accelerator decode path; "
-                  "host fallback decodes without the kernel debug checks.",
-                  file=sys.stderr)
         from gpuar_tpu.pipeline import HostCompressor
         return HostCompressor(**kwargs)
 

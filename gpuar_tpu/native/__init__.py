@@ -70,6 +70,15 @@ def load() -> ctypes.CDLL:
             lib.tg_splice.argtypes = [
                 u8p, ctypes.c_long, i32p, ctypes.c_long, u8p, ctypes.c_long]
             lib.tg_splice.restype = ctypes.c_long
+            i64p = ctypes.POINTER(ctypes.c_long)
+            lib.tg_splice_at.argtypes = [
+                u8p, ctypes.c_long, i64p, i32p, ctypes.c_long, u8p,
+                ctypes.c_long]
+            lib.tg_splice_at.restype = ctypes.c_long
+            lib.tg_expand_at.argtypes = [
+                u8p, ctypes.c_long, i64p, i32p, ctypes.c_long, u8p,
+                ctypes.c_long]
+            lib.tg_expand_at.restype = ctypes.c_long
             _LIB = lib
         return _LIB
 
@@ -156,6 +165,42 @@ def decode_stream(body: np.ndarray | bytes, out_cap: int) -> bytes:
     if w == -2:
         raise ValueError("decode output overflow")
     return out[:w].tobytes()
+
+
+def splice_at(blob: np.ndarray, offsets: np.ndarray,
+              lengths: np.ndarray) -> bytes:
+    """Concatenate blob[offsets[i] : offsets[i]+lengths[i]] — strips the
+    inter-packet alignment padding of a device-compacted result blob."""
+    lib = load()
+    blob = np.ascontiguousarray(blob, dtype=np.uint8).reshape(-1)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    out = np.empty(int(lengths.sum()), dtype=np.uint8)
+    w = lib.tg_splice_at(
+        _u8p(blob), blob.size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        _i32p(lengths), lengths.shape[0], _u8p(out), out.size)
+    if w < 0:
+        raise ValueError("splice_at: offset/length out of range")
+    return out[:w].tobytes()
+
+
+def expand_at(body: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+              blob_cap: int) -> np.ndarray:
+    """Scatter back-to-back packets into aligned blob offsets (decode-side
+    upload buffer build): blob[offsets[i]:+lengths[i]] = next body bytes."""
+    lib = load()
+    body = np.ascontiguousarray(body, dtype=np.uint8).reshape(-1)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    blob = np.zeros(blob_cap, dtype=np.uint8)
+    r = lib.tg_expand_at(
+        _u8p(body), body.size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        _i32p(lengths), lengths.shape[0], _u8p(blob), blob.size)
+    if r < 0:
+        raise ValueError("expand_at: offset/length out of range")
+    return blob
 
 
 def splice(rows: np.ndarray, lengths: np.ndarray) -> bytes:

@@ -226,6 +226,40 @@ long tg_splice(const uint8_t* rows, long stride, const int* lengths,
   return w;
 }
 
+// Splice from a compacted blob: packet i's bytes live at byte offset
+// offsets[i] (device-side row compaction leaves packets at aligned
+// starts with a little inter-packet padding; this strips it).
+long tg_splice_at(const uint8_t* blob, long blob_len, const long* offsets,
+                  const int* lengths, long n, uint8_t* out, long out_cap) {
+  long w = 0;
+  for (long i = 0; i < n; ++i) {
+    const long len = lengths[i];
+    if (len < 0 || offsets[i] < 0 || offsets[i] + len > blob_len ||
+        w + len > out_cap)
+      return -1;
+    std::memcpy(out + w, blob + offsets[i], static_cast<size_t>(len));
+    w += len;
+  }
+  return w;
+}
+
+// Scatter packets from a back-to-back body into aligned blob offsets
+// (the decode-side mirror: one pass builds the device upload buffer).
+long tg_expand_at(const uint8_t* body, long body_len, const long* offsets,
+                  const int* lengths, long n, uint8_t* blob,
+                  long blob_cap) {
+  long r = 0;
+  for (long i = 0; i < n; ++i) {
+    const long len = lengths[i];
+    if (len < 0 || r + len > body_len || offsets[i] < 0 ||
+        offsets[i] + len > blob_cap)
+      return -1;
+    std::memcpy(blob + offsets[i], body + r, static_cast<size_t>(len));
+    r += len;
+  }
+  return r;
+}
+
 // Decode a back-to-back .gip packet body of `total` bytes.
 // Returns decoded length, or -1 on malformed framing / -2 on overflow.
 long tg_decode_stream(const uint8_t* in, long total, uint8_t* out,

@@ -1,4 +1,9 @@
-"""Host-side bit packing of encoder emission descriptors.
+"""Host-side bit packing of encoder emission descriptors (SPEC/TEST tier).
+
+pack_batch loops over lanes in Python — intentional: this module exists to
+turn the XLA scan's emission descriptors into golden bitstreams for tests
+and readable spec, not to serve production traffic (that is the Pallas
+kernels' job; the host production path is the native golden codec).
 
 The vectorized encoders (XLA scan and Pallas kernel fallback path) emit, per
 symbol step, a fixed-size *descriptor* of the variable-length bit emission

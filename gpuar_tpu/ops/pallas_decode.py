@@ -67,6 +67,54 @@ DECODE_HULL = True  # speculative low-window decode: chunks are first run
                     # tiles decode with half the table traffic; random
                     # tiles pay one discarded chunk (1/64 of the work).
 STREAMS = 2        # independent interleaved lane-slices per kernel
+FUSE_UPDATE = False  # fold the model update into the NEXT symbol's search
+                    # traversal: the packed table row is C[i] << 8 | i and
+                    # the update condition "bump every row i > sym" tests
+                    # only the IMMUTABLE index byte, so pending updates
+                    # commute — they are re-applied in registers on top of
+                    # the stale table read (idx = Cs & 255; one
+                    # compare+add per pending) and the write-back is
+                    # deferred to every FUSE_K symbols.  MEASURED WORSE
+                    # (random 0.80 vs 0.876 at k=1, monotonically worse
+                    # with k; even the scalar-ablated floor drops 1.40 ->
+                    # 0.89 at k=4): Mosaic materialises each pending
+                    # compare+add as its own [256, w] traversal instead of
+                    # fusing it into the search read, so "free" per-element
+                    # ops cost full passes — round 2's K-batching lesson
+                    # again (benchmarks/PROBES_r3.md).  Probe knob only.
+FUSE_K = 4          # symbols between table write-backs (clamped to the
+                    # symbols per unrolled loop iteration so no pending
+                    # crosses a fori_loop carry)
+PAIRED_DIV = True   # stack the two exact-divs by cum (for lo2/up2) into
+                    # one [2, w] op: same dependency depth, half the issue
+                    # count for the div section of the scalar chain
+FREE_RUN = True     # release mode only: drop the per-symbol
+                    # where(active, ...) selects on lower/upper/code and
+                    # let finished lanes free-run — their garbage state is
+                    # provably harmless (bounded by the & U16 masks, rows
+                    # excluded from the refill hull by alive0, ring reads
+                    # beyond the buffer read zeros, output beyond
+                    # raw_size is sliced off by the host splice); debug
+                    # mode keeps the masks so the final bit cursor stays
+                    # exact for the overrun check
+PAIR14 = False      # pair-packed table: row i = C[i] << 14 | C[i+1]
+                    # (counts < 2**14 = MAX_PROBABILITY).  One max chain
+                    # over `row <= (unscaled << 14 | 0x3FFF)` yields BOTH
+                    # range bounds (the encode-side trick, adapted), so
+                    # decode's min chain for C[sym+1] — and its sentinel
+                    # and carried-C[128] bookkeeping — disappear; the
+                    # symbol index moves to a sum chain over the same
+                    # compare mask.  MEASURED MUCH WORSE (random 0.60 vs
+                    # 0.92, benchmarks/PROBES_r3.md): on decode the sum
+                    # chain + the two-compare update cost more than the
+                    # min chain they replace — "reduction CHAIN COUNT
+                    # beats per-pass op count" cuts both ways.  Probe
+                    # knob only; bit-exact, covered by interpret tests.
+ABLATE_SCALAR = False  # probe knob: replace the serial renorm/unscale
+                       # chain with 1-op state updates — WRONG OUTPUT,
+                       # honest timing — to measure the table-pass floor
+                       # (the algorithmic ceiling; benchmarks/probe_decode_r3)
+ABLATE_REFILL = False  # probe knob: skip ring refills for the same floor
 PHASE_SPLIT = False  # search/search/scalar/scalar phase layout: measured
                      # WORSE than full-step interleave (0.82 vs 0.85 GB/s,
                      # same-session A/B) — Mosaic schedules the plain
@@ -75,9 +123,11 @@ UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (with 2
                    # interleaved streams the loop body already carries 16
                    # symbol steps; swept 2/4/8/16 on-chip, 2 edges out 4)
 REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
-# symbols consuming at most REFILL_WORDS*2 words; with the +2-word carry
-# window everything must stay inside the 8-word ring.
-assert REFILL_WORDS * 2 + 2 < 8 + 1
+# symbols consuming at most REFILL_WORDS*2 words; the carried window's
+# +2-word lookahead must stay STRICTLY inside the 8-word ring (slot
+# (rb+8)&7 aliases word rb), so the furthest fetched word rb +
+# REFILL_WORDS*2 + 2 must be < rb + 8.
+assert REFILL_WORDS * 2 + 2 < 8
 WIN_PAD = 7        # refill hull-window padding rows (see refill_win);
                    # swept 39/23/15/7 on-chip: with the mid-tier window
                    # as the spillover, the tightest fast window wins
@@ -86,6 +136,16 @@ WIN_PAD = 7        # refill hull-window padding rows (see refill_win);
 # silently drop the tail words of every chunk.
 assert CHUNK_WORDS % UNROLL_WORDS == 0
 assert UNROLL_WORDS % REFILL_WORDS == 0
+
+
+def _fuse_k(unroll: int) -> int:
+    """Deferred-update flush cadence: FUSE_K clamped so it divides the
+    symbols per loop iteration (pending lists must empty each iteration)."""
+    per_iter = 4 * unroll
+    k = min(FUSE_K, per_iter)
+    while per_iter % k:
+        k -= 1
+    return k
 
 
 def _clz16(x):
@@ -98,7 +158,7 @@ def _shr_u(x, n):
 
 def _decode_kernel(sizes_ref, in_ref, *refs,
                    tile, steps_per_chunk, n_chunks, out_groups, unroll,
-                   streams, debug):
+                   streams, debug, fuse_k):
     if debug:
         out_ref, flag_ref, st, *scratch = refs
     else:
@@ -144,6 +204,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 base = jnp.arange(128, dtype=i32)
                 Cs_all[s][:] = jnp.broadcast_to(
                     (2 * base | ((2 * base + 1) << 16))[:, None], (128, w)
+                )
+            elif PAIR14:
+                # C[i] = i initially: row i = i << 14 | (i + 1).
+                base = jnp.arange(256, dtype=i32)
+                Cs_all[s][:] = jnp.broadcast_to(
+                    ((base << 14) | (base + 1))[:, None], (256, w)
                 )
             else:
                 Cs_all[s][:] = jnp.broadcast_to(
@@ -201,6 +267,9 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             )
 
     def refill(s, rb):
+        if ABLATE_REFILL:
+            return
+
         @pl.when(fast)
         def _():
             refill_win(s, rb, klo, WIN)
@@ -213,7 +282,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         def _():
             refill_full(s, rb)
 
-    def search_step(si, sizes_s, t, carry, mode):
+    def search_step(si, sizes_s, t, carry, mode, pend, fuse_k):
         """Table half of a symbol step: unscale, fused search, update.
 
         Split from scalar_step so the two streams' phases can be laid out
@@ -221,6 +290,14 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         'win' mode the table ops touch only rows [0,128) and record a
         per-lane miss flag when the true symbol lies above (see
         DECODE_HULL).
+
+        With FUSE_UPDATE, `pend` is this stream's Python-level list of
+        not-yet-written symbol updates (each a [1, w] masked symbol
+        vector); they are re-applied in registers on the stale table read
+        and flushed to VMEM every `fuse_k` symbols.  fuse_k divides the
+        symbols per fori_loop iteration, so the list is always empty at
+        iteration (and chunk) boundaries — no pending ever crosses a
+        loop carry.
         """
         lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc = carry
         active = t < sizes_s
@@ -233,7 +310,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # high = C[sym+1] = min{C[i] > unscaled} come for free.
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
-        unscaled = _exact_div((code - lower + 1) * cum - 1, span)
+        if ABLATE_SCALAR:
+            # Floor probe: data-varying stand-in, no div chain.
+            unscaled = (code + t) & 0x3FFF
+        else:
+            unscaled = _exact_div((code - lower + 1) * cum - 1, span)
         # Index-packed compare: Cp[i] <= (u<<8 | 255) <=> C[i] <= u.
         # The compare is recomputed inside each consumer (instead of a
         # shared materialized mask) so every table traversal is a single
@@ -280,6 +361,41 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             gt = (iotaR > rstarA).astype(i32)
             geH = gt | ((iotaR == rstarA) & (odd == 0)).astype(i32)
             Cs_all[si][0:rows, :] = P + (gt | (geH << 16))
+        elif PAIR14:
+            # Pair-packed search: one compare mask `P <= up` feeds a max
+            # chain (-> C[sym] << 14 | C[sym+1]: BOTH bounds, no min
+            # chain, no sentinel) and a sum chain (-> sym).  The update
+            # tests the packed halves' values directly: high half bumps
+            # iff C[i] > u (whole-row compare, low bits can't flip it),
+            # low half iff C[i+1] > u.
+            up = (unscaled << 14) | 0x3FFF
+            if mode == "win":
+                # unscaled >= C[128] means the symbol is outside the
+                # window: this lane's chunk output is garbage from here
+                # on — flag it; the chunk is discarded and re-run full.
+                # (C[128] rides row 127's low half, but carrying it costs
+                # no table traffic.)
+                miss = miss | (active & (unscaled >= c128))
+                c128 = c128 + active.astype(i32)
+                Cs = Cs_all[si][0:128, :]
+            else:
+                Cs = Cs_all[si][:]
+            le = Cs <= up
+            packed = jnp.max(jnp.where(le, Cs, -1), axis=0, keepdims=True)
+            sym = jnp.sum(le.astype(i32), axis=0, keepdims=True) - 1
+            low = _shr_u(packed, 14)
+            high = packed & 0x3FFF
+            # Adaptive update (applySymbolRange tail, :286-288): row i
+            # adds (C[i] > u) << 14 | (C[i+1] > u); inactive lanes add 0.
+            upd = jnp.where(
+                active,
+                ((Cs > up).astype(i32) << 14)
+                + ((Cs & 0x3FFF) > unscaled).astype(i32),
+                0)
+            if mode == "win":
+                Cs_all[si][0:128, :] = Cs + upd
+            else:
+                Cs_all[si][:] = Cs + upd
         else:
             up = (unscaled << 8) | 255
             inc = active.astype(i32) << 8
@@ -288,33 +404,62 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 # window: this lane's chunk output is garbage from here
                 # on — flag it; the chunk is discarded and re-run full.
                 miss = miss | (active & (unscaled >= c128))
-                Cs = Cs_all[si][0:128, :]
-                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
-                                 axis=0, keepdims=True)
-                # sym == 127 falls through to the carried C[128].
-                high = _shr_u(
-                    jnp.min(jnp.where(Cs > up, Cs, (c128 << 8) | 128),
-                            axis=0, keepdims=True),
-                    8)
-                Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up, inc, 0)
-                # Every in-window symbol bumps C[128] (deferred for the
-                # rest of the high rows until chunk end).
+                # sym == 127 falls through to the carried C[128] (taken
+                # BEFORE this symbol's own increment).
+                sent = (c128 << 8) | 128
                 c128 = c128 + active.astype(i32)
+                Cs0 = Cs_all[si][0:128, :]
             else:
-                Cs = Cs_all[si][:]
-                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
-                                 axis=0, keepdims=True)
                 # Sentinel (cum<<8)|255 >= every packed entry, so the
                 # sym == 255 case (high = implicit C[256] = cum) falls
                 # out of the same min.
+                sent = (cum_s << 8) | 255
+                Cs0 = Cs_all[si][:]
+            if FUSE_UPDATE:
+                # Pending updates ride the search read: the condition
+                # "row i > sym" tests only the immutable index byte, so
+                # deferred updates commute against the stale read.
+                idx = Cs0 & 255
+                if pend:
+                    upd = (idx > pend[0]).astype(i32)
+                    for sp in pend[1:]:
+                        upd = upd + (idx > sp).astype(i32)
+                    Cs = Cs0 + (upd << 8)
+                else:
+                    Cs = Cs0
+                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                                 axis=0, keepdims=True)
                 high = _shr_u(
-                    jnp.min(jnp.where(Cs > up, Cs, (cum_s << 8) | 255),
+                    jnp.min(jnp.where(Cs > up, Cs, sent),
+                            axis=0, keepdims=True),
+                    8)
+                # Adaptive update (applySymbolRange tail, :286-288),
+                # deferred: i > sym (index byte), inactive lanes use the
+                # out-of-range sentinel 256.
+                symA = jnp.where(active, packed & 255, 256)
+                pend.append(symA)
+                if len(pend) == fuse_k:
+                    Cs = Cs + ((idx > symA).astype(i32) << 8)
+                    if mode == "win":
+                        Cs_all[si][0:128, :] = Cs
+                    else:
+                        Cs_all[si][:] = Cs
+                    pend.clear()
+            else:
+                Cs = Cs0
+                packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                                 axis=0, keepdims=True)
+                high = _shr_u(
+                    jnp.min(jnp.where(Cs > up, Cs, sent),
                             axis=0, keepdims=True),
                     8)
                 # Adaptive update (applySymbolRange tail, :286-288):
                 # i > sym is exactly "not le" (C strictly increasing);
                 # the packed count increment is 1 << 8.
-                Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
+                if mode == "win":
+                    Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up, inc, 0)
+                else:
+                    Cs_all[si][:] = Cs + jnp.where(Cs > up, inc, 0)
             low = _shr_u(packed, 8)      # C[sym] = max{C <= unscaled}
             sym = packed & 255           # its index IS the symbol
         sym = jnp.where(active, sym, 0)
@@ -331,8 +476,25 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         (active, cum, cum_s, span, unscaled, low, high, sym,
          c128, miss) = part
 
-        up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
-        lo2 = (lower + _exact_div(low * span, cum_s)) & U16
+        if ABLATE_SCALAR:
+            # Floor probe: keep the symbol store and a 1-op code update
+            # (data stays varying), drop the whole renorm/bit-window
+            # chain.  WRONG OUTPUT by design.
+            wacc = wacc | (sym << ((t & 3) * 8))
+            code = (code + low) & U16
+            return (lower, upper, code, bitpos, w0, w1, flag, c128,
+                    miss, wacc)
+
+        if PAIRED_DIV:
+            # One [2, w] div covers both bounds: same chain depth, half
+            # the issue count for the div section.
+            num = jnp.concatenate([low * span, high * span], axis=0)
+            q = _exact_div(num, cum_s)
+            lo2 = (lower + q[0:1, :]) & U16
+            up2 = (lower + q[1:2, :] - 1) & U16
+        else:
+            up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
+            lo2 = (lower + _exact_div(low * span, cum_s)) & U16
 
         if debug:
             # The reference's -D_DEBUG checks (src/gpuar_kernel.cu):
@@ -376,15 +538,24 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         w1 = jnp.where(adv, nxt, w1)
 
         wacc = wacc | (sym << ((t & 3) * 8))
-        lower = jnp.where(active, lo3, lower)
-        upper = jnp.where(active, up3, upper)
-        code = jnp.where(active, code2, code)
+        if FREE_RUN and not debug:
+            # Finished lanes free-run (see the FREE_RUN constant comment):
+            # three selects per symbol gone from the issue-bound chain.
+            lower, upper, code = lo3, up3, code2
+        else:
+            lower = jnp.where(active, lo3, lower)
+            upper = jnp.where(active, up3, upper)
+            code = jnp.where(active, code2, code)
         return (lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc)
 
     sizes_s = [raw_sizes[:, lo: lo + w] for lo in los]
 
     def step(it, carries, mode):
         carries = list(carries)
+        # Per-stream deferred-update lists (FUSE_UPDATE): flushed every
+        # fuse_k symbols, so they are empty again by the iteration end —
+        # nothing crosses the fori_loop carry.
+        pends = [[] for _ in range(streams)]
         for wi in range(unroll):
             # Fixed-cadence refill: [cursor, cursor+8) covers the next
             # REFILL_WORDS * 4 symbols (<= 16 bits each) plus the carried
@@ -404,7 +575,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 t = t_chunk * steps_per_chunk + wt * 4 + j
                 if PHASE_SPLIT:
                     parts = [search_step(s, sizes_s[s], t, carries[s],
-                                         mode)
+                                         mode, pends[s], fuse_k)
                              for s in range(streams)]
                     for s in range(streams):
                         carries[s] = scalar_step(s, t, parts[s],
@@ -412,7 +583,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 else:
                     for s in range(streams):
                         part = search_step(s, sizes_s[s], t, carries[s],
-                                           mode)
+                                           mode, pends[s], fuse_k)
                         carries[s] = scalar_step(s, t, part, carries[s])
             # The store row is uniform across lanes: plain dynamic store.
             for s in range(streams):
@@ -445,8 +616,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
                            axis=0, keepdims=True)
             if mode == "win":
-                c128_0 = (Cs_all[s][64:65, :] & U16) if DUAL_TABLE \
-                    else _shr_u(Cs_all[s][128:129, :], 8)
+                if DUAL_TABLE:
+                    c128_0 = Cs_all[s][64:65, :] & U16
+                elif PAIR14:
+                    c128_0 = _shr_u(Cs_all[s][128:129, :], 14)
+                else:
+                    c128_0 = _shr_u(Cs_all[s][128:129, :], 8)
             else:
                 c128_0 = zeros
             carries.append((st[0:1, lo: lo + w], st[1:2, lo: lo + w],
@@ -483,6 +658,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                     if DUAL_TABLE:
                         Cs_all[s][64:128, :] = (Cs_all[s][64:128, :]
                                                 + cnt * 0x10001)
+                    elif PAIR14:
+                        # Row i >= 128 holds C[i] << 14 | C[i+1]; every
+                        # active in-window symbol incremented both halves
+                        # (C[128] itself rode row 127's low half live).
+                        Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
+                                                 + cnt * 0x4001)
                     else:
                         Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
                                                  + (cnt << 8))
@@ -585,6 +766,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         unroll=1 if interpret else UNROLL_WORDS,
         streams=streams,
         debug=debug,
+        fuse_k=_fuse_k(1 if interpret else UNROLL_WORDS),
     )
     out_specs = pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
                              memory_space=pltpu.VMEM)

@@ -82,9 +82,19 @@ STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # swept 1/2/4 on-chip, 1 wins
 WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
                    # swept 39/15 on-chip: 15 wins
+ABLATE_SCALAR = False  # probe knob: gut everything after the model
+                       # query/update (renorm, emit, ring, dumps) to a
+                       # 1-op carry touch — WRONG OUTPUT, honest timing —
+                       # to measure the encode table-pass floor
+                       # (benchmarks/probe_decode_r3.py --encode-floor)
 # The word loop runs (chunk_words / unroll) iterations; a non-divisor would
 # silently drop the tail words of every chunk.
 assert CHUNK_WORDS % UNROLL_WORDS == 0
+# step() only dumps on iterations with wi % DUMP_WORDS == DUMP_WORDS - 1;
+# _finish's bounded mid-stream dump assumes every chunk ENDS on a dump
+# (pend <= 7 entering the tail), which needs the unroll to be a whole
+# number of dump cadences.
+assert UNROLL_WORDS % DUMP_WORDS == 0
 
 
 def _clz16(x):
@@ -302,6 +312,11 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
         low = packed & U16
         high = jax.lax.shift_right_logical(packed, 16)
 
+        if ABLATE_SCALAR:
+            # Floor probe: model query + update only, 1-op carry touch.
+            return ((lower + low) & U16, upper, under, acc, nbuf, wcur,
+                    wbase, err)
+
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
         up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
@@ -351,7 +366,7 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                     carries[si] = sym_step(si, t, sym, active, carries[si],
                                            window)
 
-            if wi % dump_words != dump_words - 1:
+            if ABLATE_SCALAR or wi % dump_words != dump_words - 1:
                 continue
             for si in range(streams):
                 lower, upper, under, acc, nbuf, wcur, wbase, err = \

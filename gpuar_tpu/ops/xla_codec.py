@@ -1,8 +1,13 @@
 """Vectorized JAX (pure-XLA) codec: lax.scan over symbol steps, packets
 batched along the vector axis.
 
-This is the on-device correctness anchor and portable fallback for the
-Pallas kernels.  The coder state and model updates follow the reference
+This is the on-device correctness anchor for the Pallas kernels — a
+SPEC/TEST-TIER implementation, not a production path: its output stage
+(ops.bitpack) packs bits in a per-lane host loop, which is fine for
+golden-vector generation and cross-checks but would crawl at production
+batch sizes.  Production traffic goes through ops.pallas_encode /
+ops.pallas_decode (TPU) or the native golden codec (host).  The coder
+state and model updates follow the reference
 semantics exactly (jiahansu/GPUAR src/gpuar_kernel.cu applySymbolRange
 :256-299), but the reference's bit-by-bit renormalisation loops
 (writeEncodedBits :321-367, readEncodedBits :787-836) are replaced by a

@@ -53,6 +53,71 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+# --- device-side compaction of variable-length results --------------------
+#
+# The kernels produce fixed-stride packets (8,736 B each, like the
+# reference's D2H at src/gpu_compressor.cpp:138); fetching that full
+# stride moves ~1/ratio more bytes than the compressed data holds.  The
+# compact stage gathers each packet's rows (COMPACT_ROW_WORDS-word
+# granularity) into a dense blob on the device, so the host transfer
+# carries compressed bytes + <=95 B/packet of alignment padding, and the
+# decode side mirrors it with an expansion gather on upload.  Row-level
+# gathers keep XLA on its fast dynamic-slice path (an element-level
+# gather at these sizes is orders slower on TPU).
+
+COMPACT_ROW_WORDS = 24   # 96-byte row granularity (divides out_words 2184)
+_BUCKET_ROWS = 4096      # D2H prefix-slice shapes round up to this many
+                         # rows so the number of distinct compiled slice
+                         # shapes stays tiny
+
+
+def _compact_rows(pk, lens, n, *, rows_pp, row_words):
+    """Gather packets' occupied rows into a dense blob (traced helper).
+
+    pk [n_pad, ow] i32, lens [1, n_pad] bytes, n = real lanes ->
+    (blob [n_pad*rows_pp, row_words] i32, roff [n_pad] row offsets,
+    total_rows scalar).
+    """
+    n_pad, ow = pk.shape
+    cap = n_pad * rows_pp
+    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    wlen = (lens[0] + 3) >> 2
+    rcnt = jnp.where(lane < n, (wlen + row_words - 1) // row_words, 0)
+    ends = jnp.cumsum(rcnt)
+    roff = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    r = jnp.arange(cap, dtype=jnp.int32)
+    # Packet of blob row r: count of packet-ends <= r (ends is sorted).
+    p = jnp.searchsorted(ends, r, side="right")
+    p = jnp.clip(p, 0, n_pad - 1)
+    src = jnp.clip(p * rows_pp + (r - roff[p]), 0, cap - 1)
+    blob = jnp.take(pk.reshape(cap, row_words), src, axis=0)
+    return blob, roff, ends[-1]
+
+
+def _expand_rows(blob, roff, *, rows_pp):
+    """Mirror gather: dense blob rows -> fixed-stride packet rows.
+
+    Rows past a packet's data pick up neighbouring packets' bytes; that
+    is sound: the arithmetic coder's final flush (writeRemaining,
+    src/gpuar_kernel.cu:379-388) pins every decoded symbol regardless of
+    the bits that follow the written stream, and the debug-mode overrun
+    check compares bit POSITIONS only.
+    """
+    n_pad = roff.shape[0]
+    idx = roff[:, None] + jnp.arange(rows_pp, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx.reshape(-1), 0, blob.shape[0] - 1)
+    out = jnp.take(blob, idx, axis=0)
+    return out.reshape(n_pad, rows_pp * blob.shape[1])
+
+
+class CompactBody(np.ndarray):
+    """A pre-spliced .gip body: subclass marker so `_splice` (and any
+    caller expecting fixed-stride rows) can pass it straight through."""
+
+    def __new__(cls, body: bytes):
+        return np.frombuffer(body, dtype=np.uint8).view(cls)
+
+
 def _pad_perm(order: np.ndarray, n_pad: int):
     """Extend a permutation of [0, n) to [0, n_pad) (identity on the pad
     lanes) and return (order, inverse), both int32."""
@@ -174,6 +239,34 @@ class MeshCodec:
         self._enc_sorted = jax.jit(enc_sorted)
         self._dec_sorted = jax.jit(dec_sorted)
 
+        # Compacted-transfer variants (see the module comment above
+        # _compact_rows): same kernels, with a device-side gather that
+        # makes the host transfer carry ~compressed bytes only.
+        # out_words is always a multiple of 8 (whole word groups), so the
+        # fallback row width always divides; 24 is the production pick.
+        self.row_words = next(r for r in (COMPACT_ROW_WORDS, 16, 8)
+                              if self.out_words % r == 0)
+        self.rows_pp = self.out_words // self.row_words
+
+        def enc_body(words, sizes, order, inv, n):
+            pk, lens, errs = enc(jnp.take(words, order, axis=0),
+                                 jnp.take(sizes, order, axis=1))
+            pk = jnp.take(pk, inv, axis=0)
+            lens = jnp.take(lens, inv, axis=1)
+            errs = jnp.take(errs, inv, axis=1)
+            blob, roff, total = _compact_rows(
+                pk, lens, n, rows_pp=self.rows_pp,
+                row_words=self.row_words)
+            return blob, roff, total, lens, errs
+
+        self._enc_body = jax.jit(enc_body)
+        # The expansion gather is jitted SEPARATELY from the decode
+        # kernel: its input shape varies with the bucketed blob size, and
+        # keeping it out of the kernel's jit means a new bucket recompiles
+        # a ~ms gather, not the Pallas kernel.
+        self._expand = jax.jit(
+            functools.partial(_expand_rows, rows_pp=self.rows_pp))
+
     def _pad_lanes(self, n: int) -> int:
         return -(-max(n, 1) // self.lane_quantum) * self.lane_quantum
 
@@ -222,20 +315,77 @@ class MeshCodec:
         lengths [n])."""
         return self.encode_wait(self.encode_async(data, sizes))
 
+    # --- compacted-transfer encode (the file-pipeline hot path) ----------
+    def encode_body_async(self, data: np.ndarray, sizes: np.ndarray):
+        """Like encode_async, but the result is fetched as a dense
+        device-compacted blob (D2H carries compressed bytes, not the full
+        8,736-B stride per packet) and spliced straight to the .gip body."""
+        n = data.shape[0]
+        n_pad = self._pad_lanes(n)
+        order, inv = _pad_perm(_entropy_order(data), n_pad)
+        words = np.zeros((n_pad, self.packet_size // 4), np.int32)
+        words[:n] = np.ascontiguousarray(data).view(np.int32)
+        sz = np.zeros((1, n_pad), np.int32)
+        sz[0, :n] = sizes
+        dev = self._enc_body(jnp.asarray(words), jnp.asarray(sz),
+                             jnp.asarray(order), jnp.asarray(inv),
+                             jnp.int32(n))
+        return dev, data, sizes, n
+
+    def encode_body_wait(self, handle):
+        """Materialise an encode_body_async handle -> (CompactBody,
+        lengths [n]): the body bytes are final (error-flagged lanes are
+        re-encoded by the host golden codec before assembly)."""
+        from gpuar_tpu import native
+
+        (blob, roff, total, lens, errs), data, sizes, n = handle
+        lengths = np.asarray(lens)[0, :n].copy()
+        errs_np = np.asarray(errs)[0, :n]
+        total_rows = int(np.asarray(total))
+        kb = min(-(-max(total_rows, 1) // _BUCKET_ROWS) * _BUCKET_ROWS,
+                 blob.shape[0])
+        flat = np.ascontiguousarray(np.asarray(blob[:kb])).view(np.uint8)
+        flat = flat.reshape(-1)
+        offsets = (np.asarray(roff)[:n].astype(np.int64)
+                   * (self.row_words * 4))
+        bad = np.nonzero(errs_np)[0]
+        if bad.size == 0:
+            body = native.splice_at(flat, offsets, lengths)
+            return CompactBody(body), lengths
+        # Rare path (adversarial underflow runs): swap in host re-encodes.
+        repl = {}
+        for i in bad:
+            enc = native.encode_packet(data[i, : sizes[i]].tobytes())
+            repl[int(i)] = enc
+            lengths[i] = len(enc)
+        pieces = [
+            repl[i] if i in repl
+            else flat[offsets[i]: offsets[i] + lengths[i]].tobytes()
+            for i in range(n)
+        ]
+        return CompactBody(b"".join(pieces)), lengths
+
+    def encode_body(self, data: np.ndarray, sizes: np.ndarray):
+        return self.encode_body_wait(self.encode_body_async(data, sizes))
+
     # --- decode ----------------------------------------------------------
     def decode_device(self, packets32, sizes):
         return self._dec(packets32, sizes)
 
     def decode_async(self, packets: np.ndarray, raw_sizes: np.ndarray):
-        # Sort by compressed length (exact compressibility, free from the
-        # packet headers) so each tile's cursor hull stays tight; unsorted
-        # on-device before fetch.
+        # Sort by compressed bits per raw byte (TRUE compressibility, free
+        # from the packet headers) so each tile's cursor hull stays tight
+        # AND short tail packets land with like-compressible peers instead
+        # of clustering with incompressible full packets by absolute
+        # length; unsorted on-device before fetch.
         n = packets.shape[0]
         n_pad = self._pad_lanes(n)
         comp_len = (packets[:, 0].astype(np.int32)
                     | (packets[:, 1].astype(np.int32) << 8))
+        density = (comp_len.astype(np.int64) * 8192
+                   // np.maximum(np.asarray(raw_sizes, np.int64), 1))
         order, inv = _pad_perm(
-            np.argsort(comp_len, kind="stable"), n_pad)
+            np.argsort(density, kind="stable").astype(np.int32), n_pad)
         packets32, _ = pallas_decode.pad_packets32(
             packets, self.lane_quantum, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
@@ -268,4 +418,45 @@ class MeshCodec:
         """Padded raw packets (possibly a READ-ONLY view — see
         decode_wait)."""
         return self.decode_wait(self.decode_async(packets, raw_sizes))
+
+    # --- compacted-transfer decode (the file-pipeline hot path) ----------
+    def decode_body_async(self, packets: np.ndarray,
+                          raw_sizes: np.ndarray):
+        """Like decode_async, but the H2D transfer carries a dense blob of
+        the compressed bytes (96-B-aligned packet starts) instead of the
+        full 8,736-B stride per packet; the device expands it back to
+        stride rows with a row gather before the kernel."""
+        from gpuar_tpu import native
+
+        n = packets.shape[0]
+        n_pad = self._pad_lanes(n)
+        R = self.row_words
+        comp_len = (packets[:, 0].astype(np.int32)
+                    | (packets[:, 1].astype(np.int32) << 8))
+        density = (comp_len.astype(np.int64) * 8192
+                   // np.maximum(np.asarray(raw_sizes, np.int64), 1))
+        order, inv = _pad_perm(
+            np.argsort(density, kind="stable").astype(np.int32), n_pad)
+        rcnt = (comp_len + R * 4 - 1) // (R * 4)
+        roff = np.zeros(n_pad, np.int32)
+        np.cumsum(rcnt[:-1], out=roff[1:n])
+        total_rows = int(roff[n - 1] + rcnt[-1]) if n else 0
+        kb = -(-max(total_rows, 1) // _BUCKET_ROWS) * _BUCKET_ROWS
+        body = native.splice(packets, comp_len)
+        blob = native.expand_at(
+            np.frombuffer(body, np.uint8),
+            roff[:n].astype(np.int64) * (R * 4), comp_len, kb * R * 4)
+        sz = np.zeros((1, n_pad), np.int32)
+        sz[0, :n] = raw_sizes
+        pk = self._expand(jnp.asarray(blob.view(np.int32).reshape(kb, R)),
+                          jnp.asarray(roff))
+        out = self._dec_sorted(pk, jnp.asarray(sz),
+                               jnp.asarray(order), jnp.asarray(inv))
+        if self.debug:
+            out, flags = out
+            return (out, flags, comp_len), n
+        return out, n
+
+    def decode_body_wait(self, handle) -> np.ndarray:
+        return self.decode_wait(handle)
 

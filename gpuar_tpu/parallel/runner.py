@@ -66,15 +66,18 @@ class TPUCompressor(Compressor):
         data, sizes = self._packetize(raw)
         if data is None:
             return None
-        return self.codec.encode_async(data, sizes)
+        # Compacted-transfer path: D2H fetches a dense blob of compressed
+        # bytes instead of the full 8,736-B stride per packet (the
+        # reference ships full stride, src/gpu_compressor.cpp:138).
+        return self.codec.encode_body_async(data, sizes)
 
     def encode_fetch(self, handle):
         if handle is None:
             return (np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
-        return self.codec.encode_wait(handle)
+        return self.codec.encode_body_wait(handle)
 
     def decode_submit(self, packets: np.ndarray, raw_sizes: np.ndarray):
-        return self.codec.decode_async(packets, raw_sizes)
+        return self.codec.decode_body_async(packets, raw_sizes)
 
     def decode_fetch(self, handle):
-        return self.codec.decode_wait(handle)
+        return self.codec.decode_body_wait(handle)

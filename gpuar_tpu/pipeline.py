@@ -274,7 +274,12 @@ def _check_resume_matches(src, done_raw: int, last_packet: bytes) -> None:
 
 
 def _splice(packets: np.ndarray, lengths: np.ndarray) -> bytes:
-    """Concatenate variable-length packets from a fixed-stride batch."""
+    """Concatenate variable-length packets from a fixed-stride batch.
+
+    A 1-D array is a pre-spliced body (the device-compaction fast path —
+    parallel/mesh.CompactBody) and passes straight through."""
+    if packets.ndim == 1:
+        return packets.tobytes()
     if packets.shape[0] == 0:
         return b""
     return native.splice(packets, lengths)

@@ -88,6 +88,50 @@ def test_walk_packet_index_and_truncation(rng):
         dist.walk_packet_index(io.BytesIO(blob[:-1]), len(blob) + 3)
 
 
+def _framed_blob(bodies):
+    blob = b""
+    for b in bodies:
+        total = len(b) + 4
+        blob += total.to_bytes(2, "little") + len(b).to_bytes(2, "little") + b
+    return blob
+
+
+def test_walk_packet_index_chunks_matches_full_walk(rng):
+    bodies = [bytes([i]) * (10 + 7 * i) for i in range(11)]
+    blob = _framed_blob(bodies)
+    full = dist.walk_packet_index(io.BytesIO(blob), len(blob))
+    for chunk in (1, 2, 3, 11, 100):
+        segs = list(dist.walk_packet_index_chunks(
+            io.BytesIO(blob), len(blob), chunk))
+        # Segment sizes: all `chunk` except the tail; absolute offsets
+        # chain exactly (each segment starts where the previous ended).
+        assert all(s.shape[1] - 1 == chunk for s in segs[:-1])
+        assert sum(s.shape[1] - 1 for s in segs) == 11
+        joined = np.concatenate(
+            [segs[0]] + [s[:, 1:] for s in segs[1:]], axis=1)
+        assert np.array_equal(joined, full)
+        for a, b in zip(segs, segs[1:]):
+            assert a[0, -1] == b[0, 0] and a[1, -1] == b[1, 0]
+
+    with pytest.raises(container.ContainerError):
+        list(dist.walk_packet_index_chunks(
+            io.BytesIO(blob[:-1]), len(blob) + 3, 4))
+
+
+def test_load_segment_and_truncation():
+    bodies = [b"\x11" * 10, b"\x22" * 5, b"\x33" * 100]
+    blob = _framed_blob(bodies)
+    segs = list(dist.walk_packet_index_chunks(io.BytesIO(blob), len(blob), 2))
+    assert len(segs) == 2
+    # Second segment starts mid-body: absolute offsets must load right.
+    pk, raw = dist._load_segment(dist._BodyView(io.BytesIO(blob), 0), segs[1])
+    assert raw.tolist() == [100]
+    assert pk[0, 4:104].tobytes() == bodies[2]
+    cut = dist._BodyView(io.BytesIO(blob[:-3]), 0)
+    with pytest.raises(container.ContainerError, match="truncated packet"):
+        dist._load_segment(cut, segs[1])
+
+
 def test_distributed_single_process_roundtrip(tmp_path, rng):
     src = tmp_path / "in.bin"
     data = rng.integers(0, 256, 3 * P + 1234, np.uint8).tobytes()

@@ -49,3 +49,39 @@ def test_single_vs_multi_device_identical(rng):
     assert np.array_equal(lm, ls)
     for i in range(n):
         assert pm[i, : lm[i]].tobytes() == ps[i, : ls[i]].tobytes()
+
+
+def test_compacted_body_path_matches_stride_path(rng):
+    """encode_body/decode_body (device-side compaction of the transfers)
+    must produce exactly the stride path's spliced bytes and round-trip."""
+    P = 64
+    codec = MeshCodec(make_mesh(), tile=8, packet_size=P, interpret=True)
+
+    n = 70  # lane padding + a short tail + an empty lane
+    data = rng.integers(0, 256, (n, P), np.uint8)
+    sizes = np.full(n, P, np.int32)
+    sizes[3] = 9
+    data[3, 9:] = 0
+    sizes[-1] = 0
+    # A compressible stretch so compacted lengths genuinely vary.
+    data[10:30] = 7
+
+    packets, lengths = codec.encode(data, sizes)
+    expected = b"".join(
+        packets[i, : lengths[i]].tobytes() for i in range(n))
+
+    body, lengths2 = codec.encode_body(data, sizes)
+    assert np.array_equal(lengths2, lengths)
+    assert body.tobytes() == expected
+
+    # Rebuild stride packets from the body (what the reader would see)
+    # and decode through the compacted upload path.
+    stride = np.zeros((n, packets.shape[1]), np.uint8)
+    pos = 0
+    for i in range(n):
+        stride[i, : lengths[i]] = np.frombuffer(
+            expected, np.uint8, lengths[i], pos)
+        pos += lengths[i]
+    out = codec.decode_body_wait(codec.decode_body_async(stride, sizes))
+    for i in range(n):
+        assert out[i, : sizes[i]].tobytes() == data[i, : sizes[i]].tobytes()
