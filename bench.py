@@ -79,7 +79,9 @@ def _measure(data, sizes, tile, psize, og):
 
 def main():
     from gpuar_tpu.ops import pallas_encode
+    from gpuar_tpu.parallel.mesh import enable_compilation_cache
 
+    enable_compilation_cache()  # first compile ~minutes; reruns ~seconds
     tile = 1024
     psize = 8192
     n_packets = 8192  # 64 MiB

@@ -155,9 +155,13 @@ def bench_corpus(name: str, data: bytes, tile: int):
     }
 
 
-def bench_file_level(mib: int):
+def bench_file_level(mib: int, corpus: str = "random"):
     """Whole-pipeline row: compress+decompress a real file through
-    TPUCompressor (reference stats style, src/main.cpp:176-182)."""
+    TPUCompressor (reference stats style, src/main.cpp:176-182).
+
+    The enwik-proxy variant is where the device-side compaction of
+    variable-length results shows: D2H/H2D carry compressed bytes
+    (~0.56x) instead of the full 8,736-B stride per packet."""
     import hashlib
     import tempfile
 
@@ -169,7 +173,12 @@ def bench_file_level(mib: int):
         src = os.path.join(tmp, "in.bin")
         gip = os.path.join(tmp, "c.gip")
         back = os.path.join(tmp, "back.bin")
-        generate_random_file(src, size, seed=0xBE7C)
+        if corpus == "random":
+            generate_random_file(src, size, seed=0xBE7C)
+        else:
+            from benchmarks import enwik_proxy
+            with open(src, "wb") as f:
+                f.write(enwik_proxy.generate(size))
         comp = TPUCompressor()
         # Warm with the SAME file so every batch geometry this run will
         # see is already compiled (a different warm size would leave the
@@ -187,7 +196,7 @@ def bench_file_level(mib: int):
         h2 = hashlib.md5(open(back, "rb").read()).hexdigest()
         assert h1 == h2, "file-level round-trip mismatch"
     row = {
-        "corpus": "file-e2e (random)",
+        "corpus": f"file-e2e ({corpus})",
         "mib": mib,
         "encode_gbps": round(size / t_c / 1e9, 4),
         "decode_gbps": round(size / t_d / 1e9, 4),
@@ -225,6 +234,8 @@ def main():
         print(f"done: {rows[-1]}", flush=True)
     if not args.skip_e2e:
         rows.append(bench_file_level(args.mib))
+        print(f"done: {rows[-1]}", flush=True)
+        rows.append(bench_file_level(args.mib, corpus="enwik-proxy"))
         print(f"done: {rows[-1]}", flush=True)
 
     out = Path(__file__).with_name("results.json")

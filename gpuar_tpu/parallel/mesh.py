@@ -110,6 +110,17 @@ def _expand_rows(blob, roff, *, rows_pp):
     return out.reshape(n_pad, rows_pp * blob.shape[1])
 
 
+def _host_reencode(data_row: np.ndarray) -> bytes:
+    """Re-encode one error-flagged lane with the native golden codec.
+
+    Split out at module level so soak/bench harnesses can wrap it and
+    count fixup activations on the compacted-transfer path (the stride
+    path's equivalent hook is ops.pallas_encode.fixup_errors)."""
+    from gpuar_tpu import native
+
+    return native.encode_packet(data_row.tobytes())
+
+
 class CompactBody(np.ndarray):
     """A pre-spliced .gip body: subclass marker so `_splice` (and any
     caller expecting fixed-stride rows) can pass it straight through."""
@@ -355,7 +366,7 @@ class MeshCodec:
         # Rare path (adversarial underflow runs): swap in host re-encodes.
         repl = {}
         for i in bad:
-            enc = native.encode_packet(data[i, : sizes[i]].tobytes())
+            enc = _host_reencode(data[i, : sizes[i]])
             repl[int(i)] = enc
             lengths[i] = len(enc)
         pieces = [

@@ -85,3 +85,40 @@ def test_compacted_body_path_matches_stride_path(rng):
     out = codec.decode_body_wait(codec.decode_body_async(stride, sizes))
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == data[i, : sizes[i]].tobytes()
+
+
+def test_compacted_body_fixup_rare_path(rng):
+    """An error-flagged lane (adversarial underflow run past the kernel
+    budget) must be host re-encoded inside encode_body_wait and the
+    assembled body must still match the stride path byte-for-byte."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pallas_encode import _adversarial_underflow_packet
+    from gpuar_tpu.parallel import mesh as mesh_mod
+
+    codec = MeshCodec(make_mesh(jax.devices()[:1]), tile=8,
+                      packet_size=8192, interpret=True)
+    n = 8
+    data = rng.integers(0, 256, (n, 8192), np.uint8)
+    data[2] = _adversarial_underflow_packet()
+    sizes = np.full(n, 8192, np.int32)
+
+    calls = {"n": 0}
+    orig = mesh_mod._host_reencode
+
+    def counting(row):
+        calls["n"] += 1
+        return orig(row)
+
+    mesh_mod._host_reencode = counting
+    try:
+        body, lengths = codec.encode_body(data, sizes)
+    finally:
+        mesh_mod._host_reencode = orig
+    assert calls["n"] >= 1, "adversarial lane did not take the rare path"
+
+    packets, lengths2 = codec.encode(data, sizes)
+    assert np.array_equal(lengths, lengths2)
+    expected = b"".join(packets[i, : lengths2[i]].tobytes()
+                        for i in range(n))
+    assert body.tobytes() == expected
