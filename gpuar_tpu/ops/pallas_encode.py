@@ -82,6 +82,9 @@ STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # swept 1/2/4 on-chip, 1 wins
 WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
                    # swept 39/15 on-chip: 15 wins
+PAIRED_DIV = True  # stack the two exact-divs by cum (lo2/up2 bounds)
+                   # into one [2, w] op — half the issue count of the div
+                   # section (the round-3 decode win, applied to encode)
 ABLATE_SCALAR = False  # probe knob: gut everything after the model
                        # query/update (renorm, emit, ring, dumps) to a
                        # 1-op carry touch — WRONG OUTPUT, honest timing —
@@ -319,8 +322,14 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
 
         span = upper - lower + 1
         cum_s = jnp.int32(cum)
-        up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
-        lo2 = (lower + _exact_div(low * span, cum_s)) & U16
+        if PAIRED_DIV:
+            num = jnp.concatenate([low * span, high * span], axis=0)
+            q = _exact_div(num, cum_s)
+            lo2 = (lower + q[0:1, :]) & U16
+            up2 = (lower + q[1:2, :] - 1) & U16
+        else:
+            up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
+            lo2 = (lower + _exact_div(low * span, cum_s)) & U16
 
         # Closed-form renormalisation (derivation: ops/xla_codec.py).
         m = _clz16(lo2 ^ up2)
