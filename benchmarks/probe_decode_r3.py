@@ -88,6 +88,9 @@ def main():
     ap.add_argument("--floor-only", action="store_true")
     ap.add_argument("--skip-floor", action="store_true")
     ap.add_argument("--encode-floor", action="store_true")
+    ap.add_argument("--stack", action="store_true",
+                    help="STACK_SCALAR sweep: merged full-width scalar "
+                         "chains vs the per-stream baseline")
     args = ap.parse_args()
     D = pallas_decode
 
@@ -97,7 +100,8 @@ def main():
                  ABLATE_SCALAR=D.ABLATE_SCALAR,
                  ABLATE_REFILL=D.ABLATE_REFILL,
                  PAIR14=D.PAIR14, UNROLL_WORDS=D.UNROLL_WORDS,
-                 PAIRED_DIV=D.PAIRED_DIV, FREE_RUN=D.FREE_RUN)
+                 PAIRED_DIV=D.PAIRED_DIV, FREE_RUN=D.FREE_RUN,
+                 STACK_SCALAR=D.STACK_SCALAR)
     try:
         # --- the floor: table passes only, full-range, no speculation ---
         if not args.skip_floor:
@@ -144,6 +148,24 @@ def main():
             finally:
                 E.ABLATE_SCALAR = False
             time_enc("ENCODE real")
+            return
+
+        if args.stack:
+            # --- STACK_SCALAR: streams' scalar chains merged full-width ---
+            D.PAIRED_DIV, D.FREE_RUN = True, True
+            for stack, unroll, streams, tile in (
+                    (False, 2, 2, 1024),   # adopted r3 baseline
+                    (True, 2, 2, 1024),
+                    (True, 4, 2, 1024),
+                    (True, 2, 4, 1024),    # 4 streams, one merged chain
+                    (True, 1, 2, 1024)):
+                D.STACK_SCALAR = stack
+                D.UNROLL_WORDS = unroll
+                D.STREAMS = streams
+                run(f"{'STACK' if stack else 'base '} unroll={unroll} "
+                    f"streams={streams} tile={tile}",
+                    packets, sizes, data, tile=tile, reps=args.reps)
+            D.STACK_SCALAR = False
             return
 
         # --- final decode sweep: unroll / chunk on the pdiv winner ---

@@ -88,6 +88,16 @@ FUSE_K = 4          # symbols between table write-backs (clamped to the
 PAIRED_DIV = True   # stack the two exact-divs by cum (for lo2/up2) into
                     # one [2, w] op: same dependency depth, half the issue
                     # count for the div section of the scalar chain
+STACK_SCALAR = False  # merge the STREAMS scalar chains into full-width
+                    # [1, tile] ops: the streams' renorm/div sequences are
+                    # op-for-op identical, so stacking them column-wise
+                    # halves the scalar section's ISSUE count (the
+                    # PAIRED_DIV lesson applied to the whole chain) at the
+                    # price of coupling the two dependency chains — the
+                    # merged chain's latency is no longer hidden by the
+                    # other stream.  Table passes stay per-stream
+                    # [256, tile/STREAMS].  Measured on-chip before
+                    # adoption (benchmarks/probe_decode_r3.py --stack)
 FREE_RUN = True     # release mode only: drop the per-symbol
                     # where(active, ...) selects on lower/upper/code and
                     # let finished lanes free-run — their garbage state is
@@ -110,6 +120,8 @@ PAIR14 = False      # pair-packed table: row i = C[i] << 14 | C[i+1]
                     # min chain they replace — "reduction CHAIN COUNT
                     # beats per-pass op count" cuts both ways.  Probe
                     # knob only; bit-exact, covered by interpret tests.
+INTERPRET_STREAMS = False  # test knob: honor STREAMS (and STACK_SCALAR)
+                           # in interpret mode too — tiny tiles only
 ABLATE_SCALAR = False  # probe knob: replace the serial renorm/unscale
                        # chain with 1-op state updates — WRONG OUTPUT,
                        # honest timing — to measure the table-pass floor
@@ -158,7 +170,7 @@ def _shr_u(x, n):
 
 def _decode_kernel(sizes_ref, in_ref, *refs,
                    tile, steps_per_chunk, n_chunks, out_groups, unroll,
-                   streams, debug, fuse_k):
+                   streams, debug, fuse_k, stacked):
     if debug:
         out_ref, flag_ref, st, *scratch = refs
     else:
@@ -167,18 +179,40 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     w = tile // streams  # lanes per stream slice
-    # Per-stream table/ring scratch buffers: SEPARATE buffers (not column
-    # slices of one) so Mosaic sees the streams' loads/stores as disjoint
-    # and can interleave their dependency chains freely.
-    Cs_all = scratch[:streams]
-    rings = scratch[streams: 2 * streams]
-    snaps = scratch[2 * streams:]
+    if stacked:
+        # STACK_SCALAR: one full-width ring (streams occupy column
+        # slices) so the carried bit-window ops run once at [*, tile].
+        ring_fw = scratch[0]
+        Cs_all = scratch[1: 1 + streams]
+        snaps = scratch[1 + streams:]
+        rings = None
+    else:
+        # Per-stream table/ring scratch buffers: SEPARATE buffers (not
+        # column slices of one) so Mosaic sees the streams' loads/stores
+        # as disjoint and can interleave their dependency chains freely.
+        ring_fw = None
+        Cs_all = scratch[:streams]
+        rings = scratch[streams: 2 * streams]
+        snaps = scratch[2 * streams:]
     iota256 = jax.lax.broadcasted_iota(i32, (256, w), 0)
     iota128 = jax.lax.broadcasted_iota(i32, (128, w), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, w), 0)
+    iota8f = jax.lax.broadcasted_iota(i32, (8, tile), 0)
     grows = jax.lax.broadcasted_iota(i32, (out_groups, w), 0)
     zeros = jnp.zeros((1, w), i32)
+    zeros_f = jnp.zeros((1, tile), i32)
     los = [s * w for s in range(streams)]
+
+    def ring_write(s, j, val):
+        if stacked:
+            ring_fw[j: j + 1, los[s]: los[s] + w] = val
+        else:
+            rings[s][j: j + 1, :] = val
+
+    def ring_read(s):
+        if stacked:
+            return ring_fw[:, los[s]: los[s] + w]
+        return rings[s][:]
 
     def refill_full(s, rb):
         """Load per-lane words [rb, rb+8) into the ring (slot = word & 7):
@@ -188,9 +222,9 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             colj = in_ref[:, j * tile + lo: j * tile + lo + w]
             wj = grows * 8 + j
             inr = (wj >= rb) & (wj < rb + 8)
-            rings[s][j: j + 1, :] = jnp.sum(
+            ring_write(s, j, jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
-            )
+            ))
 
     @pl.when(t_chunk == 0)
     def _init():
@@ -220,7 +254,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             # first 16 stream bits; the stream starts after the 4-byte
             # header (word 1).
             w1 = jnp.sum(
-                jnp.where(iota8 == 1, rings[s][:], 0),
+                jnp.where(iota8 == 1, ring_read(s), 0),
                 axis=0, keepdims=True)
             st[0:1, lo: lo + w] = zeros            # lower
             st[1:2, lo: lo + w] = zeros + U16      # upper
@@ -262,9 +296,9 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             colj = in_ref[pl.ds(base, win), j * tile + lo: j * tile + lo + w]
             wj = (base + wrows) * 8 + j
             inr = (wj >= rb) & (wj < rb + 8)
-            rings[s][j: j + 1, :] = jnp.sum(
+            ring_write(s, j, jnp.sum(
                 jnp.where(inr, colj, 0), axis=0, keepdims=True
-            )
+            ))
 
     def refill(s, rb):
         if ABLATE_REFILL:
@@ -532,7 +566,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         bitpos = bitpos + s
         adv = (bitpos >> 5) > widx
         nxt = jnp.sum(
-            rings[si][:] * (iota8 == ((widx + 2) & 7)).astype(i32),
+            ring_read(si) * (iota8 == ((widx + 2) & 7)).astype(i32),
             axis=0, keepdims=True)
         w0 = jnp.where(adv, w1, w0)
         w1 = jnp.where(adv, nxt, w1)
@@ -561,9 +595,12 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             # REFILL_WORDS * 4 symbols (<= 16 bits each) plus the carried
             # 2-word window.  Streams refill on STAGGERED words (stream s
             # at wi % REFILL_WORDS == s % REFILL_WORDS) so the refill
-            # bursts spread across symbol steps instead of bunching.
+            # bursts spread across symbol steps instead of bunching; when
+            # unroll is not a REFILL_WORDS multiple (interpret unroll=1)
+            # the wi parity never reaches some streams — refill all.
             for s in range(streams):
-                if wi % REFILL_WORDS == s % REFILL_WORDS:
+                if (unroll % REFILL_WORDS != 0
+                        or wi % REFILL_WORDS == s % REFILL_WORDS):
                     refill(s, carries[s][3] >> 5)
             wt = it * unroll + wi
             for s in range(streams):
@@ -590,6 +627,172 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 out_ref[pl.ds(wt, 1), los[s]: los[s] + w] = carries[s][9]
         return tuple(carries)
 
+    def step_stacked(it, carry, mode):
+        """STACK_SCALAR loop body: one symbol step for ALL streams, the
+        scalar half executed once at full width.
+
+        The carry is a single full-width state tuple (lower, upper, code,
+        bitpos, w0, w1, flag, c128, miss, wacc), each [1, tile].  Per
+        symbol: the unscale div and the renorm/bit-window chain run as
+        [1, tile] / [2, tile] ops (one issue where the per-stream layout
+        paid STREAMS); only the table search+update stays per-stream
+        [256, tile/STREAMS], stitched with static column concats."""
+        (lower, upper, code, bitpos, w0, w1, flag, c128, miss,
+         wacc) = carry
+        for wi in range(unroll):
+            # Staggered refill cadence (see step()); when unroll is not a
+            # multiple of REFILL_WORDS (interpret mode's unroll=1) the wi
+            # parity never reaches some streams — refill all, every word.
+            for s in range(streams):
+                if (unroll % REFILL_WORDS != 0
+                        or wi % REFILL_WORDS == s % REFILL_WORDS):
+                    refill(s, bitpos[:, los[s]: los[s] + w] >> 5)
+            wt = it * unroll + wi
+            wacc = zeros_f
+            for j in range(4):
+                t = t_chunk * steps_per_chunk + wt * 4 + j
+                active = t < raw_sizes
+                cum = 256 + t
+                cum_s = jnp.int32(cum)
+                span = upper - lower + 1
+                unscaled = _exact_div((code - lower + 1) * cum - 1, span)
+                if mode == "win":
+                    # Full-width hull bookkeeping (hoisted out of the
+                    # per-stream search): miss + C[128] carry.  sym==127
+                    # falls through to the PRE-increment C[128].
+                    miss = miss | (active & (unscaled >= c128))
+                    c128_pre = c128
+                    c128 = c128 + active.astype(i32)
+                lows, highs, syms = [], [], []
+                for s in range(streams):
+                    lo = los[s]
+                    u_s = unscaled[:, lo: lo + w]
+                    up = (u_s << 8) | 255
+                    inc = active[:, lo: lo + w].astype(i32) << 8
+                    if mode == "win":
+                        sent = (c128_pre[:, lo: lo + w] << 8) | 128
+                        Cs = Cs_all[s][0:128, :]
+                    else:
+                        sent = (cum_s << 8) | 255
+                        Cs = Cs_all[s][:]
+                    packed = jnp.max(jnp.where(Cs <= up, Cs, -1),
+                                     axis=0, keepdims=True)
+                    high_s = _shr_u(
+                        jnp.min(jnp.where(Cs > up, Cs, sent),
+                                axis=0, keepdims=True),
+                        8)
+                    if mode == "win":
+                        Cs_all[s][0:128, :] = Cs + jnp.where(Cs > up,
+                                                             inc, 0)
+                    else:
+                        Cs_all[s][:] = Cs + jnp.where(Cs > up, inc, 0)
+                    lows.append(_shr_u(packed, 8))
+                    highs.append(high_s)
+                    syms.append(packed & 255)
+                low = jnp.concatenate(lows, axis=1)
+                high = jnp.concatenate(highs, axis=1)
+                sym = jnp.where(active,
+                                jnp.concatenate(syms, axis=1), 0)
+
+                # Scalar half, full width (mirror of scalar_step).
+                num = jnp.concatenate([low * span, high * span], axis=0)
+                q = _exact_div(num, cum_s)
+                lo2 = (lower + q[0:1, :]) & U16
+                up2 = (lower + q[1:2, :] - 1) & U16
+                if debug:
+                    flag = flag | (active & ((unscaled >= cum)
+                                             | (unscaled < 0))).astype(i32)
+                    flag = flag | (active & (lo2 > up2)).astype(i32)
+                m = _clz16(lo2 ^ up2)
+                la = (lo2 << m) & U16
+                ua = ((up2 << m) | ((1 << m) - 1)) & U16
+                a = (la << 1) & U16
+                b = ((ua << 1) | 1) & U16
+                k = _clz16((~(a & ~b)) & U16)
+                lo3 = (la << k) & 0x7FFF
+                up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+                s_bits = jnp.where(active, m + k, 0)
+                boff = bitpos & 31
+                win = (w0 << boff) | jnp.where(
+                    boff > 0, _shr_u(w1, (32 - boff) & 31), 0
+                )
+                bits = jnp.where(s_bits > 0,
+                                 _shr_u(win, (32 - s_bits) & 31), 0)
+                code2 = (((code << s_bits) | bits)
+                         ^ jnp.where(k >= 1, 0x8000, 0)) & U16
+                widx = bitpos >> 5
+                bitpos = bitpos + s_bits
+                adv = (bitpos >> 5) > widx
+                nxt = jnp.sum(
+                    ring_fw[:] * (iota8f == ((widx + 2) & 7)).astype(i32),
+                    axis=0, keepdims=True)
+                w0 = jnp.where(adv, w1, w0)
+                w1 = jnp.where(adv, nxt, w1)
+                wacc = wacc | (sym << ((t & 3) * 8))
+                if FREE_RUN and not debug:
+                    lower, upper, code = lo3, up3, code2
+                else:
+                    lower = jnp.where(active, lo3, lower)
+                    upper = jnp.where(active, up3, upper)
+                    code = jnp.where(active, code2, code)
+            out_ref[pl.ds(wt, 1), :] = wacc
+        return (lower, upper, code, bitpos, w0, w1, flag, c128, miss,
+                wacc)
+
+    def run_chunk_stacked(mode):
+        """run_chunk for STACK_SCALAR: the carried state is one
+        full-width tuple seeded/saved directly from st's rows."""
+        for s, lo in enumerate(los):
+            refill(s, st[3:4, lo: lo + w] >> 5)
+        bp0 = st[3:4, :]
+        wi0 = bp0 >> 5
+        rs = ring_fw[:]
+        w0_0 = jnp.sum(rs * (iota8f == (wi0 & 7)).astype(i32),
+                       keepdims=True, axis=0)
+        w1_0 = jnp.sum(rs * (iota8f == ((wi0 + 1) & 7)).astype(i32),
+                       axis=0, keepdims=True)
+        if mode == "win":
+            c128_0 = jnp.concatenate(
+                [_shr_u(Cs_all[s][128:129, :], 8) for s in range(streams)],
+                axis=1)
+        else:
+            c128_0 = zeros_f
+        carry = (st[0:1, :], st[1:2, :], st[2:3, :], bp0, w0_0, w1_0,
+                 st[4:5, :] if debug else zeros_f, c128_0, zeros_f,
+                 zeros_f)
+        carry = jax.lax.fori_loop(
+            0, (steps_per_chunk // 4) // unroll,
+            functools.partial(step_stacked, mode=mode), carry)
+
+        def save_st():
+            st[0:1, :] = carry[0]
+            st[1:2, :] = carry[1]
+            st[2:3, :] = carry[2]
+            st[3:4, :] = carry[3]
+            if debug:
+                st[4:5, :] = carry[6]
+
+        if mode == "win":
+            missed = jnp.max(carry[8].astype(i32))
+
+            @pl.when(missed == 0)
+            def _commit():
+                save_st()
+                for s, lo in enumerate(los):
+                    cnt = jnp.clip(
+                        sizes_s[s] - t_chunk * steps_per_chunk,
+                        0, steps_per_chunk)
+                    Cs_all[s][128:256, :] = (Cs_all[s][128:256, :]
+                                             + (cnt << 8))
+
+            @pl.when(missed != 0)
+            def _discard():
+                st[5:6, :] = jnp.ones((1, tile), i32)
+                for s in range(streams):
+                    Cs_all[s][:] = snaps[s][:]
+        else:
+            save_st()
+
     def run_chunk(mode):
         """The chunk's whole symbol loop, state bridged through st (the
         hull branches below cannot pass values directly).
@@ -610,7 +813,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         for s, lo in enumerate(los):
             bp0 = st[3:4, lo: lo + w]
             wi0 = bp0 >> 5
-            rs = rings[s][:]
+            rs = ring_read(s)
             w0_0 = jnp.sum(rs * (iota8 == (wi0 & 7)).astype(i32),
                            keepdims=True, axis=0)
             w1_0 = jnp.sum(rs * (iota8 == ((wi0 + 1) & 7)).astype(i32),
@@ -676,6 +879,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         else:
             save_st()
 
+    rc = run_chunk_stacked if stacked else run_chunk
     if DECODE_HULL:
         sticky0 = jnp.max(st[5:6, :]) > 0
 
@@ -683,15 +887,15 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         def _try_windowed():
             for s in range(streams):
                 snaps[s][:] = Cs_all[s][:]
-            run_chunk("win")
+            rc("win")
 
         redo = jnp.max(st[5:6, :]) > 0
 
         @pl.when(redo)
         def _full():
-            run_chunk("full")
+            rc("full")
     else:
-        run_chunk("full")
+        rc("full")
 
     if debug:
         @pl.when(t_chunk == n_chunks - 1)
@@ -751,9 +955,16 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         f"{CHUNK_WORDS * 4}-byte chunk")
     assert chunk_words % (1 if interpret else UNROLL_WORDS) == 0
     steps_per_chunk = chunk_words * 4
-    # Stream slices must stay whole vregs (128 lanes) wide.
-    streams = STREAMS if (not interpret and tile % (STREAMS * 128) == 0) \
+    # Stream slices must stay whole vregs (128 lanes) wide.  Interpret
+    # mode normally forces 1 stream (XLA-CPU compile cost scales with the
+    # duplicated body); INTERPRET_STREAMS lets correctness tests exercise
+    # the multi-stream/stacked paths on tiny shapes.
+    streams = STREAMS if (tile % (STREAMS * 128) == 0
+                          and (not interpret or INTERPRET_STREAMS)) \
         else 1
+    stacked = (STACK_SCALAR and streams > 1
+               and not (DUAL_TABLE or PAIR14 or FUSE_UPDATE or PHASE_SPLIT
+                        or ABLATE_SCALAR))
 
     kernel = functools.partial(
         _decode_kernel,
@@ -767,6 +978,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         streams=streams,
         debug=debug,
         fuse_k=_fuse_k(1 if interpret else UNROLL_WORDS),
+        stacked=stacked,
     )
     out_specs = pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
                              memory_space=pltpu.VMEM)
@@ -790,11 +1002,13 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((8, tile), jnp.int32)]
+            + ([pltpu.VMEM((8, tile), jnp.int32)] if stacked else [])
             + [pltpu.VMEM((128 if DUAL_TABLE else 256,
                            tile // streams), jnp.int32)
                for _ in range(streams)]
-            + [pltpu.VMEM((8, tile // streams), jnp.int32)
-               for _ in range(streams)]
+            + ([] if stacked
+               else [pltpu.VMEM((8, tile // streams), jnp.int32)
+                     for _ in range(streams)])
             + [pltpu.VMEM((128 if DUAL_TABLE else 256,
                            tile // streams), jnp.int32)
                for _ in range(streams)]
