@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin one accelerator device by index; default: all")
     p.add_argument("--batch-packets", type=int, default=None,
                    help="packets per super-batch (bounds memory)")
+    p.add_argument("--threads", type=int, default=1,
+                   help="host-codec worker threads (--host / fallback "
+                        "path; 0 = all cores).  Packets are independent, "
+                        "so any value yields an identical archive")
     p.add_argument("--multihost", action="store_true",
                    help="pod-slice mode: every process codes its file range "
                         "and splices at gathered offsets (shared filesystem)")
@@ -58,7 +62,7 @@ def make_compressor(args):
         kwargs["debug"] = True
     if args.host:
         from gpuar_tpu.pipeline import HostCompressor
-        return HostCompressor(**kwargs)
+        return HostCompressor(threads=args.threads, **kwargs)
     if args.multihost:
         from gpuar_tpu.parallel import distributed
         from gpuar_tpu.parallel.runner import TPUCompressor
@@ -92,7 +96,7 @@ def make_compressor(args):
         print(f"Attention: accelerator unavailable ({e}); "
               "executing codec on host.", file=sys.stderr)
         from gpuar_tpu.pipeline import HostCompressor
-        return HostCompressor(**kwargs)
+        return HostCompressor(threads=args.threads, **kwargs)
 
 
 def main(argv=None) -> int:

@@ -357,13 +357,60 @@ class _PacketReader:
 
 
 class HostCompressor(Compressor):
-    """Serial native codec backend (the reference's --host mode)."""
+    """Native codec backend (the reference's --host mode), optionally
+    multi-threaded.
+
+    The reference's CPUCompressor codes packets strictly serially
+    (src/cpu_compressor.cpp:151-181); packets are independent by
+    construction (per-packet model reset), so with threads > 1 each
+    super-batch is split into contiguous packet ranges coded in a thread
+    pool — the ctypes calls release the GIL for the whole native batch,
+    so Python threads scale to real cores.  threads=1 (the default) is
+    byte-for-byte the serial path; any thread count produces an
+    identical archive.
+    """
+
+    def __init__(self, super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
+                 threads: int = 1):
+        super().__init__(super_batch_packets)
+        if threads is None or threads < 1:
+            threads = os.cpu_count() or 1
+        self.threads = threads
+        self._pool = None
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+
+    def _split(self, n_items: int) -> list[tuple[int, int]]:
+        per = -(-n_items // self.threads)
+        return [(i, min(i + per, n_items))
+                for i in range(0, n_items, per)]
 
     def encode_batch(self, raw: np.ndarray):
-        return native.encode_batch(raw)
+        P = UNCOMPRESSED_PACKET_SIZE
+        n_packets = -(-raw.size // P)
+        if self._pool is None or n_packets < 2 * self.threads:
+            return native.encode_batch(raw)
+        ranges = self._split(n_packets)
+        futs = [self._pool.submit(native.encode_batch,
+                                  raw[i0 * P: min(i1 * P, raw.size)])
+                for i0, i1 in ranges]
+        parts = [f.result() for f in futs]
+        return (np.concatenate([p for p, _ in parts]),
+                np.concatenate([ln for _, ln in parts]))
 
     def decode_batch(self, packets: np.ndarray, raw_sizes: np.ndarray):
-        out, lengths = native.decode_batch(packets)
+        if self._pool is None or packets.shape[0] < 2 * self.threads:
+            out, lengths = native.decode_batch(packets)
+        else:
+            ranges = self._split(packets.shape[0])
+            futs = [self._pool.submit(native.decode_batch,
+                                      packets[i0:i1])
+                    for i0, i1 in ranges]
+            parts = [f.result() for f in futs]
+            out = np.concatenate([p for p, _ in parts])
+            lengths = np.concatenate([ln for _, ln in parts])
         if not np.array_equal(lengths, raw_sizes):
             raise container.ContainerError(
                 "Incorrect file format: decoded size mismatch"

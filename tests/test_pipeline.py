@@ -271,3 +271,24 @@ def test_device_flag_validation(tmp_path, rng, repo_root):
     assert t.codec.n_devices == 1
     with pytest.raises(ValueError):
         TPUCompressor(device_index=99)
+
+
+def test_threaded_host_codec_identical(tmp_path, rng):
+    """HostCompressor(threads=N) splits super-batches into contiguous
+    packet ranges coded in a thread pool; packets are independent
+    (per-packet model reset, src/cpu_compressor.cpp:159), so the archive
+    must be byte-identical to the serial path for any thread count."""
+    data = rng.integers(0, 256, 13 * P + 77, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+
+    serial = tmp_path / "serial.gip"
+    HostCompressor().compress(src, serial)
+    for threads in (3, 8):
+        out = tmp_path / f"t{threads}.gip"
+        HostCompressor(threads=threads).compress(src, out)
+        assert out.read_bytes() == serial.read_bytes(), threads
+
+    back = tmp_path / "back.bin"
+    HostCompressor(threads=5, super_batch_packets=4).decompress(serial, back)
+    assert back.read_bytes() == data
