@@ -54,7 +54,9 @@ struct Model {
 
 // Narrow [lo, hi] to sym's cumulative share, then adapt the model.
 // Mirrors applySymbolRange (src/gpuar_kernel.cu:256-299): new hi uses old lo,
-// products are < 2^31, results wrap to 16 bits.
+// products are < 2^31, results wrap to 16 bits.  (A reciprocal-table
+// exact-multiply variant was measured SLOWER than the hardware divider
+// on this host — see benchmarks/PROBES_r3.md, host-codec section.)
 inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
   const uint32_t span = hi - lo + 1;
   hi = (lo + static_cast<uint32_t>(m.cum[sym + 1]) * span / m.cumprob - 1) & kLowMask;
@@ -64,12 +66,25 @@ inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
 
 struct BitOut {
   uint8_t* p;
-  uint32_t acc = 0;
-  int n = 0;
+  uint64_t acc = 0;
+  int n = 0;  // bits pending in acc (right-aligned); < 8 between calls
 
-  void put(uint32_t bit) {
-    acc = (acc << 1) | (bit & 1u);
-    if (++n == 8) { *p++ = static_cast<uint8_t>(acc); acc = 0; n = 0; }
+  // Append k bits (v's low k bits, MSB-first), k <= 32.
+  inline void append(uint32_t v, int k) {
+    acc = (acc << k) | v;
+    n += k;
+    while (n >= 8) {
+      n -= 8;
+      *p++ = static_cast<uint8_t>(acc >> n);
+    }
+  }
+  // Append `len` copies of `bit` (underflow runs can exceed 32).
+  inline void run(uint32_t bit, uint32_t len) {
+    while (len) {
+      const int c = len > 32 ? 32 : static_cast<int>(len);
+      append(bit ? (c == 32 ? 0xFFFFFFFFu : (1u << c) - 1) : 0u, c);
+      len -= c;
+    }
   }
   void close() {  // left-align final partial byte (writeClose :430-439)
     if (n) { *p++ = static_cast<uint8_t>(acc << (8 - n)); acc = 0; n = 0; }
@@ -79,15 +94,42 @@ struct BitOut {
 struct BitIn {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t acc = 0;
-  int n = 0;
+  uint64_t win = 0;
+  int n = 0;  // bits available in win (right-aligned)
 
-  uint32_t get() {  // reads past the stream return 0 (values never matter)
-    if (n == 0) { acc = (p < end) ? *p : 0u; ++p; n = 8; }
-    --n;
-    return (acc >> n) & 1u;
+  // Take k bits MSB-first, k <= 32.  Reads past the stream return 0
+  // (the values never matter: decode stops at the framed raw length).
+  inline uint32_t take(int k) {
+    while (n < 32) {
+      win = (win << 8) | (p < end ? *p : 0u);
+      ++p;
+      n += 8;
+    }
+    n -= k;
+    return static_cast<uint32_t>(win >> n) & (k == 32 ? 0xFFFFFFFFu
+                                                      : (1u << k) - 1);
   }
 };
+
+// Leading common MSBs of the 16-bit bounds: how many settled bits this
+// symbol emits (the serial loop's equal-MSB iterations, :325-336).
+inline int settled_count(uint32_t lo, uint32_t hi) {
+  const uint32_t x = (lo ^ hi) & kLowMask;
+  return x ? __builtin_clz(x) - 16 : 16;
+}
+
+// Straddle (underflow) count once MSBs differ: the serial loop removes
+// the second bit while lo = 01..., hi = 10... (:337-352).  That holds for
+// exactly min(leading 1s of lo after its 0, leading 0s of hi after its 1)
+// iterations, and no settled emission can follow (MSBs still differ).
+inline int straddle_count(uint32_t lo, uint32_t hi) {
+  if (!(lo & kSecond) || (hi & kSecond)) return 0;
+  const uint32_t lw = ~static_cast<uint32_t>(lo << 17);  // 1-run of lo
+  const uint32_t hw = static_cast<uint32_t>(hi << 17);   // 0-run of hi
+  const int p = __builtin_clz(lw);
+  const int q = hw ? __builtin_clz(hw) : 15;
+  return p < q ? p : q;
+}
 
 }  // namespace
 
@@ -103,28 +145,34 @@ int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
 
   for (int i = 0; i < n; ++i) {
     apply_range(m, in[i], lo, hi);
-    // Renormalise (writeEncodedBits :321-367).
-    for (;;) {
-      if (((hi ^ lo) & kMsb) == 0) {
-        const uint32_t b = hi >> 15;
-        bo.put(b);
-        for (; under; --under) bo.put(b ^ 1u);
-      } else if ((lo & kSecond) && !(hi & kSecond)) {
-        ++under;
-        lo &= ~(kMsb | kSecond);
-        hi |= kSecond;
+    // Renormalise, closed form (equivalent to writeEncodedBits :321-367:
+    // the serial loop is always m settled emissions then k straddles).
+    const int ms = settled_count(lo, hi);
+    if (ms) {
+      const uint32_t bits = lo >> (16 - ms);  // the m common MSBs
+      if (under) {  // pending underflow flushes after the first bit
+        bo.append(bits >> (ms - 1), 1);
+        bo.run((bits >> (ms - 1)) ^ 1u, under);
+        under = 0;
+        if (ms > 1) bo.append(bits & ((1u << (ms - 1)) - 1), ms - 1);
       } else {
-        break;
+        bo.append(bits, ms);
       }
-      lo = (lo << 1) & kLowMask;
-      hi = ((hi << 1) | 1) & kLowMask;
+      lo = (lo << ms) & kLowMask;
+      hi = ((hi << ms) | ((1u << ms) - 1)) & kLowMask;
+    }
+    const int ks = straddle_count(lo, hi);
+    if (ks) {  // drop k second bits, shift up, fill 0s (lo) / 1s (hi)
+      under += static_cast<uint32_t>(ks);
+      lo = (lo & (0x7FFFu >> ks)) << ks;
+      hi = kMsb | ((hi & (0x7FFFu >> ks)) << ks) | ((1u << ks) - 1);
     }
   }
 
   // Tail flush (writeRemaining :379-388).
   const uint32_t tb = (lo >> 14) & 1u;
-  bo.put(tb);
-  for (uint32_t k = 0; k <= under; ++k) bo.put(tb ^ 1u);
+  bo.append(tb, 1);
+  bo.run(tb ^ 1u, under + 1);
   bo.close();
 
   const int len = static_cast<int>(bo.p - out);
@@ -144,8 +192,7 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
   Model m;
   m.reset();
 
-  uint32_t code = 0;
-  for (int i = 0; i < 16; ++i) code = (code << 1) | bi.get();
+  uint32_t code = bi.take(16);
   uint32_t lo = 0, hi = kLowMask;
 
   for (int i = 0; i < raw; ++i) {
@@ -154,20 +201,20 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
     const int sym = m.find(unscaled);
     out[i] = static_cast<uint8_t>(sym);
     apply_range(m, sym, lo, hi);
-    // Mirror renormalisation (readEncodedBits :787-836).
-    for (;;) {
-      if (((hi ^ lo) & kMsb) == 0) {
-        // settled MSB: just shift it out
-      } else if ((lo & kSecond) && !(hi & kSecond)) {
-        lo &= ~(kMsb | kSecond);
-        hi |= kSecond;
-        code ^= kSecond;
-      } else {
-        break;
-      }
-      lo = (lo << 1) & kLowMask;
-      hi = ((hi << 1) | 1) & kLowMask;
-      code = ((code << 1) | bi.get()) & kLowMask;
+    // Mirror renormalisation, closed form (readEncodedBits :787-836).
+    // The straddle op (code ^= kSecond then shift in a bit) removes
+    // code's second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
+    const int ms = settled_count(lo, hi);
+    if (ms) {
+      code = ((code << ms) | bi.take(ms)) & kLowMask;
+      lo = (lo << ms) & kLowMask;
+      hi = ((hi << ms) | ((1u << ms) - 1)) & kLowMask;
+    }
+    const int ks = straddle_count(lo, hi);
+    if (ks) {
+      code = (code & kMsb) | ((code & (0x7FFFu >> ks)) << ks) | bi.take(ks);
+      lo = (lo & (0x7FFFu >> ks)) << ks;
+      hi = kMsb | ((hi & (0x7FFFu >> ks)) << ks) | ((1u << ks) - 1);
     }
   }
   return raw;
