@@ -41,14 +41,23 @@ struct Model {
     ++cumprob;
   }
 
-  // Largest c with cum[c] <= unscaled (row is strictly increasing).
-  int find(uint32_t unscaled) const {
-    int lo = 0, hi = kModelSize - 1;   // search over indices 1..256
-    while (hi - lo > 1) {
-      int mid = (lo + hi) >> 1;
-      if (cum[mid] <= unscaled) lo = mid; else hi = mid;
+  // Fused symbol search + model update (decode hot path).  Because the
+  // row is strictly increasing with sym = max{c : cum[c] <= unscaled},
+  // the adaptive update cum[i] += (i > sym) is identical to
+  // cum[i] += (cum[i] > unscaled) — one auto-vectorised compare pass
+  // yields the symbol (a count) AND applies the update.  The same trick
+  // as the Pallas decode kernel's fused compare-read.  Does NOT touch
+  // cumprob; the caller increments it after using the pre-update bounds
+  // (cum[sym] is unchanged; pre-update cum[sym+1] = new value - 1).
+  int find_bump(uint32_t unscaled) {
+    const uint16_t u = static_cast<uint16_t>(unscaled);  // < cumprob <= 8448
+    int gt = 0;
+    for (int i = 1; i < kModelSize; ++i) {
+      const uint16_t g = cum[i] > u;
+      cum[i] = static_cast<uint16_t>(cum[i] + g);
+      gt += g;
     }
-    return lo;
+    return 256 - gt;
   }
 };
 
@@ -198,9 +207,14 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
   for (int i = 0; i < raw; ++i) {
     const uint32_t span = hi - lo + 1;
     const uint32_t unscaled = ((code - lo + 1) * m.cumprob - 1) / span;
-    const int sym = m.find(unscaled);
+    const int sym = m.find_bump(unscaled);
     out[i] = static_cast<uint8_t>(sym);
-    apply_range(m, sym, lo, hi);
+    // apply_range with the update already applied by find_bump: cum[sym]
+    // is unchanged, pre-update cum[sym+1] is the new value minus 1.
+    const uint32_t c_hi = static_cast<uint32_t>(m.cum[sym + 1]) - 1;
+    hi = (lo + c_hi * span / m.cumprob - 1) & kLowMask;
+    lo = (lo + static_cast<uint32_t>(m.cum[sym]) * span / m.cumprob) & kLowMask;
+    ++m.cumprob;
     // Mirror renormalisation, closed form (readEncodedBits :787-836).
     // The straddle op (code ^= kSecond then shift in a bit) removes
     // code's second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
