@@ -61,15 +61,37 @@ struct Model {
   }
 };
 
+// Exact magic-number division by cumprob: floor(x/d) = (x*M) >> s with
+// s = 32 + floor(log2 d), M = floor(2^s/d) + 1, exact for all x < 2^31
+// and d < 2^16 (the round-up error x*(M - 2^s/d)/2^s < 1/d can never
+// carry floor(x/d) past the next integer).  cumprob walks 256..8448
+// sequentially per packet, so the table reads stream through cache.
+// (A double-reciprocal variant with branchy fixups measured SLOWER than
+// the hardware divider; see benchmarks/PROBES_r3.md, host-codec section.)
+struct DivTab {
+  uint64_t mul[kInitCum + 8192 + 1];
+  uint8_t sh[kInitCum + 8192 + 1];
+  DivTab() {
+    for (uint32_t d = 1; d <= kInitCum + 8192; ++d) {
+      const int s = 63 - __builtin_clz(d);  // 32 + floor(log2 d)
+      sh[d] = static_cast<uint8_t>(s);
+      mul[d] = (static_cast<uint64_t>(1) << s) / d + 1;
+    }
+  }
+};
+const DivTab kDiv;
+
+inline uint32_t div_cum(uint32_t x, uint32_t d) {
+  return static_cast<uint32_t>((x * kDiv.mul[d]) >> kDiv.sh[d]);
+}
+
 // Narrow [lo, hi] to sym's cumulative share, then adapt the model.
 // Mirrors applySymbolRange (src/gpuar_kernel.cu:256-299): new hi uses old lo,
-// products are < 2^31, results wrap to 16 bits.  (A reciprocal-table
-// exact-multiply variant was measured SLOWER than the hardware divider
-// on this host — see benchmarks/PROBES_r3.md, host-codec section.)
+// products are < 2^31, results wrap to 16 bits.
 inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
   const uint32_t span = hi - lo + 1;
-  hi = (lo + static_cast<uint32_t>(m.cum[sym + 1]) * span / m.cumprob - 1) & kLowMask;
-  lo = (lo + static_cast<uint32_t>(m.cum[sym]) * span / m.cumprob) & kLowMask;
+  hi = (lo + div_cum(m.cum[sym + 1] * span, m.cumprob) - 1) & kLowMask;
+  lo = (lo + div_cum(m.cum[sym] * span, m.cumprob)) & kLowMask;
   m.bump(sym);
 }
 
@@ -212,8 +234,8 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
     // apply_range with the update already applied by find_bump: cum[sym]
     // is unchanged, pre-update cum[sym+1] is the new value minus 1.
     const uint32_t c_hi = static_cast<uint32_t>(m.cum[sym + 1]) - 1;
-    hi = (lo + c_hi * span / m.cumprob - 1) & kLowMask;
-    lo = (lo + static_cast<uint32_t>(m.cum[sym]) * span / m.cumprob) & kLowMask;
+    hi = (lo + div_cum(c_hi * span, m.cumprob) - 1) & kLowMask;
+    lo = (lo + div_cum(m.cum[sym] * span, m.cumprob)) & kLowMask;
     ++m.cumprob;
     // Mirror renormalisation, closed form (readEncodedBits :787-836).
     // The straddle op (code ^= kSecond then shift in a bit) removes
