@@ -77,7 +77,32 @@ def _measure(data, sizes, tile, psize, og):
             float(lens_v.sum()) / total)
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (exit 2) if no accelerator comes up within the timeout.
+
+    The axon TPU plugin retries backend init in an unbounded sleep loop
+    when the tunnel is down; probing in a subprocess keeps this process
+    un-wedged so a dead tunnel yields a clean error, not a silent hang."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: no accelerator after {timeout_s:.0f}s "
+              "(device tunnel down?) — aborting", file=sys.stderr)
+        raise SystemExit(2)
+    if r.returncode != 0:
+        print("bench: jax backend init failed:\n" + r.stderr[-2000:],
+              file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
+    _probe_device()
+
     from gpuar_tpu.ops import pallas_encode
     from gpuar_tpu.parallel.mesh import enable_compilation_cache
 
