@@ -35,9 +35,16 @@ struct Model {
     cumprob = kInitCum;
   }
 
-  // Account one occurrence of `sym` (suffix increment auto-vectorises).
+  // Account one occurrence of `sym`.  The suffix increment is phrased as
+  // a FIXED-trip masked pass (i > sym <=> cum[i] > cum[sym], the row
+  // being strictly increasing): the variable-start `for (i = sym+1)`
+  // formulation defeated the vectoriser and cost ~70% of encode time
+  // (ablation in benchmarks/PROBES_r3.md); this form is 8 AVX-512BW
+  // iterations and doubled encode throughput.
   void bump(int sym) {
-    for (int i = sym + 1; i < kModelSize; ++i) ++cum[i];
+    const uint16_t t = cum[sym];
+    for (int i = 1; i < kModelSize; ++i)
+      cum[i] = static_cast<uint16_t>(cum[i] + (cum[i] > t));
     ++cumprob;
   }
 
