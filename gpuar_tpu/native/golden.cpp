@@ -58,11 +58,11 @@ struct Model {
   // (cum[sym] is unchanged; pre-update cum[sym+1] = new value - 1).
   int find_bump(uint32_t unscaled) {
     const uint16_t u = static_cast<uint16_t>(unscaled);  // < cumprob <= 8448
-    int gt = 0;
+    uint16_t gt = 0;  // u16 keeps the reduction in 32-lane vector adds
     for (int i = 1; i < kModelSize; ++i) {
       const uint16_t g = cum[i] > u;
       cum[i] = static_cast<uint16_t>(cum[i] + g);
-      gt += g;
+      gt = static_cast<uint16_t>(gt + g);
     }
     return 256 - gt;
   }
