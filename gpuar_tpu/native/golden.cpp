@@ -169,22 +169,38 @@ inline int straddle_count(uint32_t lo, uint32_t hi) {
   return p < q ? p : q;
 }
 
-}  // namespace
+// --- K-way interleaved packet coding -------------------------------------
+//
+// One packet's symbol chain is LATENCY-bound: unscaled -> fused table pass
+// -> horizontal reduce -> sym -> bounds -> divides -> next unscaled is a
+// ~150-cycle serial dependency, and the vector units sit mostly idle (a
+// narrower blocked table pass measured SLOWER — the reduce latency is
+// width-independent; benchmarks/PROBES_r3.md).  Packets are independent
+// coders, so stepping K of them in lockstep gives the out-of-order window
+// K overlapping chains — the host mirror of the Pallas decode kernel's
+// interleaved lane-streams.  K is capped by register/ROB pressure; the
+// adopted value is measured in PROBES_r3.md.
 
-extern "C" {
-
-// Encode n raw bytes into out (capacity >= n + 512 + 4). Returns total
-// packet length including the 4-byte header.
-int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
+struct Enc {
   Model m;
-  m.reset();
-  BitOut bo{out + kHeader};
-  uint32_t lo = 0, hi = kLowMask, under = 0;
+  BitOut bo;
+  uint32_t lo, hi, under;
+  uint8_t* out;
 
-  for (int i = 0; i < n; ++i) {
-    apply_range(m, in[i], lo, hi);
-    // Renormalise, closed form (equivalent to writeEncodedBits :321-367:
-    // the serial loop is always m settled emissions then k straddles).
+  void start(uint8_t* pkt) {
+    out = pkt;
+    m.reset();
+    bo = BitOut{pkt + kHeader};
+    lo = 0;
+    hi = kLowMask;
+    under = 0;
+  }
+
+  // Encode one symbol: range narrowing + closed-form renormalisation
+  // (equivalent to writeEncodedBits :321-367: the serial loop is always
+  // m settled emissions then k straddles).
+  inline void step(uint8_t sym) {
+    apply_range(m, sym, lo, hi);
     const int ms = settled_count(lo, hi);
     if (ms) {
       const uint32_t bits = lo >> (16 - ms);  // the m common MSBs
@@ -207,46 +223,51 @@ int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
     }
   }
 
-  // Tail flush (writeRemaining :379-388).
-  const uint32_t tb = (lo >> 14) & 1u;
-  bo.append(tb, 1);
-  bo.run(tb ^ 1u, under + 1);
-  bo.close();
+  // Tail flush (writeRemaining :379-388) + header. Returns packet length.
+  int finish(int n) {
+    const uint32_t tb = (lo >> 14) & 1u;
+    bo.append(tb, 1);
+    bo.run(tb ^ 1u, under + 1);
+    bo.close();
+    const int len = static_cast<int>(bo.p - out);
+    out[0] = static_cast<uint8_t>(len);
+    out[1] = static_cast<uint8_t>(len >> 8);
+    out[2] = static_cast<uint8_t>(n);
+    out[3] = static_cast<uint8_t>(n >> 8);
+    return len;
+  }
+};
 
-  const int len = static_cast<int>(bo.p - out);
-  out[0] = static_cast<uint8_t>(len);
-  out[1] = static_cast<uint8_t>(len >> 8);
-  out[2] = static_cast<uint8_t>(n);
-  out[3] = static_cast<uint8_t>(n >> 8);
-  return len;
-}
-
-// Decode one packet (header + bitstream) into out (capacity >= raw size).
-// Returns the number of decoded bytes.
-int tg_decode_packet(const uint8_t* in, uint8_t* out) {
-  const int total = in[0] | (in[1] << 8);
-  const int raw = in[2] | (in[3] << 8);
-  BitIn bi{in + kHeader, in + total};
+struct Dec {
   Model m;
-  m.reset();
+  BitIn bi;
+  uint32_t code, lo, hi;
+  uint8_t* out;
 
-  uint32_t code = bi.take(16);
-  uint32_t lo = 0, hi = kLowMask;
+  void start(const uint8_t* pkt, uint8_t* o) {
+    const int total = pkt[0] | (pkt[1] << 8);
+    out = o;
+    m.reset();
+    bi = BitIn{pkt + kHeader, pkt + total};
+    code = bi.take(16);
+    lo = 0;
+    hi = kLowMask;
+  }
 
-  for (int i = 0; i < raw; ++i) {
+  // Decode one symbol; find_bump applies the model update, so the bound
+  // reads use: cum[sym] unchanged, pre-update cum[sym+1] = new value - 1.
+  // Mirror renormalisation in closed form (readEncodedBits :787-836); the
+  // straddle op (code ^= kSecond then shift in a bit) removes code's
+  // second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
+  inline void step(int i) {
     const uint32_t span = hi - lo + 1;
     const uint32_t unscaled = ((code - lo + 1) * m.cumprob - 1) / span;
     const int sym = m.find_bump(unscaled);
     out[i] = static_cast<uint8_t>(sym);
-    // apply_range with the update already applied by find_bump: cum[sym]
-    // is unchanged, pre-update cum[sym+1] is the new value minus 1.
     const uint32_t c_hi = static_cast<uint32_t>(m.cum[sym + 1]) - 1;
     hi = (lo + div_cum(c_hi * span, m.cumprob) - 1) & kLowMask;
     lo = (lo + div_cum(m.cum[sym] * span, m.cumprob)) & kLowMask;
     ++m.cumprob;
-    // Mirror renormalisation, closed form (readEncodedBits :787-836).
-    // The straddle op (code ^= kSecond then shift in a bit) removes
-    // code's second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
     const int ms = settled_count(lo, hi);
     if (ms) {
       code = ((code << ms) | bi.take(ms)) & kLowMask;
@@ -260,6 +281,48 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
       hi = kMsb | ((hi & (0x7FFFu >> ks)) << ks) | ((1u << ks) - 1);
     }
   }
+};
+
+// DECODE interleave width: how many packet decoders run in lockstep.
+// Swept in benchmarks/PROBES_r3.md: 2 wins (+10%), wider is flat-to-worse
+// (two chains already saturate the vector ports with table passes), and
+// ENCODE lockstep at any width LOSES ~20% — the encoder's chain is
+// shorter (no horizontal reduce feeding the next step through `sym`), so
+// forcing its state through memory costs more than the overlap buys.
+// Encode therefore stays one-packet-serial.
+#ifndef TG_WAY
+#define TG_WAY 2
+#endif
+constexpr int kWay = TG_WAY;
+
+// Lockstep over K started decoders (equal symbol count).  The inner loop
+// unrolls; the hardware overlaps the K independent chains.
+template <int K>
+void dec_lockstep(Dec* d, int raw) {
+  for (int i = 0; i < raw; ++i)
+    for (int k = 0; k < K; ++k) d[k].step(i);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n raw bytes into out (capacity >= n + 512 + 4). Returns total
+// packet length including the 4-byte header.
+int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
+  Enc e;
+  e.start(out);
+  for (int i = 0; i < n; ++i) e.step(in[i]);
+  return e.finish(n);
+}
+
+// Decode one packet (header + bitstream) into out (capacity >= raw size).
+// Returns the number of decoded bytes.
+int tg_decode_packet(const uint8_t* in, uint8_t* out) {
+  const int raw = in[2] | (in[3] << 8);
+  Dec d;
+  d.start(in, out);
+  for (int i = 0; i < raw; ++i) d.step(i);
   return raw;
 }
 
@@ -278,11 +341,33 @@ long tg_encode_batch(const uint8_t* in, long total, int packet_size,
 }
 
 // Decode `npackets` packets at fixed `in_stride` offsets into out at fixed
-// `out_stride` offsets. raw_lengths[i] receives each decoded size.
+// `out_stride` offsets. raw_lengths[i] receives each decoded size.  Runs
+// of TG_WAY consecutive equal-raw packets decode interleaved (all but the
+// archive's final packet have raw = packet_size, so this is the whole
+// batch in practice).
 void tg_decode_batch(const uint8_t* in, long in_stride, long npackets,
                      uint8_t* out, long out_stride, int* raw_lengths) {
-  for (long i = 0; i < npackets; ++i) {
-    raw_lengths[i] = tg_decode_packet(in + i * in_stride, out + i * out_stride);
+  long i = 0;
+  while (i < npackets) {
+    const int raw0 = in[i * in_stride + 2] | (in[i * in_stride + 3] << 8);
+    int g = 1;
+    while (g < kWay && i + g < npackets) {
+      const uint8_t* h = in + (i + g) * in_stride;
+      if ((h[2] | (h[3] << 8)) != raw0) break;
+      ++g;
+    }
+    if (g == kWay) {
+      Dec d[kWay];
+      for (int k = 0; k < kWay; ++k)
+        d[k].start(in + (i + k) * in_stride, out + (i + k) * out_stride);
+      dec_lockstep<kWay>(d, raw0);
+      for (int k = 0; k < kWay; ++k) raw_lengths[i + k] = raw0;
+      i += kWay;
+    } else {
+      raw_lengths[i] = tg_decode_packet(in + i * in_stride,
+                                        out + i * out_stride);
+      ++i;
+    }
   }
 }
 
@@ -350,20 +435,43 @@ long tg_expand_at(const uint8_t* body, long body_len, const long* offsets,
   return r;
 }
 
-// Decode a back-to-back .gip packet body of `total` bytes.
+// Decode a back-to-back .gip packet body of `total` bytes.  Runs of
+// TG_WAY consecutive equal-raw packets (validated first) decode
+// interleaved; ragged tails fall back to the single-packet path.
 // Returns decoded length, or -1 on malformed framing / -2 on overflow.
 long tg_decode_stream(const uint8_t* in, long total, uint8_t* out,
                       long out_cap) {
   long r = 0, w = 0;
   while (r < total) {
-    if (r + kHeader > total) return -1;
-    const int psize = in[r] | (in[r + 1] << 8);
-    const int raw = in[r + 2] | (in[r + 3] << 8);
-    if (psize < kHeader || r + psize > total) return -1;
-    if (w + raw > out_cap) return -2;
-    tg_decode_packet(in + r, out + w);
-    r += psize;
-    w += raw;
+    // Validate and frame up to kWay packets ahead.
+    long starts[kWay];
+    int raws[kWay], g = 0;
+    long r2 = r, w2 = w;
+    while (g < kWay && r2 < total) {
+      if (r2 + kHeader > total) return -1;
+      const int psize = in[r2] | (in[r2 + 1] << 8);
+      const int raw = in[r2 + 2] | (in[r2 + 3] << 8);
+      if (psize < kHeader || r2 + psize > total) return -1;
+      if (w2 + raw > out_cap) return -2;
+      if (g && raw != raws[0]) break;  // lockstep needs equal symbol counts
+      starts[g] = r2;
+      raws[g] = raw;
+      ++g;
+      r2 += psize;
+      w2 += raw;
+    }
+    if (g == kWay) {
+      Dec d[kWay];
+      for (int k = 0; k < kWay; ++k)
+        d[k].start(in + starts[k], out + w + static_cast<long>(k) * raws[0]);
+      dec_lockstep<kWay>(d, raws[0]);
+      r = r2;
+      w = w2;
+    } else {
+      tg_decode_packet(in + starts[0], out + w);
+      r = starts[0] + (in[starts[0]] | (in[starts[0] + 1] << 8));
+      w += raws[0];
+    }
   }
   return w;
 }

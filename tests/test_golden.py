@@ -57,6 +57,22 @@ def test_native_batch_matches_packetwise(rng):
     assert b"".join(out[i, : raws[i]].tobytes() for i in range(4)) == data.tobytes()
 
 
+def test_native_batch_mixed_raw_sizes(rng):
+    """Short packets mid-batch break the decoder's equal-raw lockstep runs;
+    every grouping/fallback seam must still decode bit-exactly."""
+    sizes = [8192, 8192, 300, 8192, 8192, 8192, 17, 1, 8192, 4096]
+    raws = [bytes(rng.integers(0, 256, s, np.uint8)) for s in sizes]
+    encoded = [native.encode_packet(r) for r in raws]
+    stride = max(len(e) for e in encoded)
+    packets = np.zeros((len(encoded), stride), dtype=np.uint8)
+    for i, e in enumerate(encoded):
+        packets[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    out, got_raws = native.decode_batch(packets)
+    for i, r in enumerate(raws):
+        assert got_raws[i] == len(r)
+        assert out[i, : len(r)].tobytes() == r
+
+
 def test_native_stream_roundtrip(rng):
     data = rng.integers(0, 256, 5 * UNCOMPRESSED_PACKET_SIZE + 123, np.uint8)
     body = native.encode_stream(data)
