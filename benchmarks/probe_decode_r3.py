@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpuar_tpu.ops import pallas_decode, pallas_encode
+from gpuar_tpu.parallel.mesh import enable_compilation_cache
+
+enable_compilation_cache()  # probe configs recompile ~minutes on the
+                            # tunnel without the persistent cache
 
 
 def corpus(n_packets=9216, psize=8192):
@@ -91,6 +95,9 @@ def main():
     ap.add_argument("--stack", action="store_true",
                     help="STACK_SCALAR sweep: merged full-width scalar "
                          "chains vs the per-stream baseline")
+    ap.add_argument("--only", type=int, default=None,
+                    help="run a single --stack config by index (chunked "
+                         "runs: one compile per invocation)")
     args = ap.parse_args()
     D = pallas_decode
 
@@ -153,12 +160,15 @@ def main():
         if args.stack:
             # --- STACK_SCALAR: streams' scalar chains merged full-width ---
             D.PAIRED_DIV, D.FREE_RUN = True, True
-            for stack, unroll, streams, tile in (
-                    (False, 2, 2, 1024),   # adopted r3 baseline
-                    (True, 2, 2, 1024),
-                    (True, 4, 2, 1024),
-                    (True, 2, 4, 1024),    # 4 streams, one merged chain
-                    (True, 1, 2, 1024)):
+            configs = (
+                (False, 2, 2, 1024),   # adopted r3 baseline
+                (True, 2, 2, 1024),
+                (True, 4, 2, 1024),
+                (True, 2, 4, 1024),    # 4 streams, one merged chain
+                (True, 1, 2, 1024))
+            if args.only is not None:
+                configs = configs[args.only: args.only + 1]
+            for stack, unroll, streams, tile in configs:
                 D.STACK_SCALAR = stack
                 D.UNROLL_WORDS = unroll
                 D.STREAMS = streams
