@@ -165,7 +165,9 @@ def main():
                 (True, 2, 2, 1024),
                 (True, 4, 2, 1024),
                 (True, 2, 4, 1024),    # 4 streams, one merged chain
-                (True, 1, 2, 1024))
+                (True, 1, 2, 1024),
+                (False, 2, 3, 1536))   # 3 chains at the SAME w=512 slice
+                                       # width as the s2@1024 baseline
             if args.only is not None:
                 configs = configs[args.only: args.only + 1]
             for stack, unroll, streams, tile in configs:

@@ -52,3 +52,38 @@ def test_two_stream_interpret_roundtrip(rng, stacked):
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"lane {i} (size {sizes[i]})"
+
+
+def test_three_stream_interpret_roundtrip(rng):
+    """STREAMS=3 (the tile=1536 on-chip candidate: three w=512 chains);
+    interpret twin at tile=384 = 3 x 128-lane slices."""
+    P = 256
+    n = 384
+    data = np.zeros((n, P), np.uint8)
+    data[:128] = rng.integers(0, 256, (128, P), np.uint8)     # sticky-full
+    data[128:256] = rng.integers(32, 127, (128, P), np.uint8)  # win commits
+    data[256:378] = rng.integers(0, 4, (122, P), np.uint8)    # skewed
+    sizes = np.full(n, P, np.int32)
+    sizes[378:] = [0, 1, 7, 100, 255, 256]  # ragged tails on stream 2
+    for i in range(378, n):
+        data[i, sizes[i]:] = 0
+
+    enc = [native.encode_packet(data[i, : sizes[i]].tobytes())
+           for i in range(n)]
+    _, out_words = out_geometry(P)
+    pk = np.zeros((n, out_words * 4), np.uint8)
+    for i, e in enumerate(enc):
+        pk[i, : len(e)] = np.frombuffer(e, np.uint8)
+
+    saved = (pallas_decode.INTERPRET_STREAMS, pallas_decode.STREAMS)
+    pallas_decode.INTERPRET_STREAMS = True
+    pallas_decode.STREAMS = 3
+    try:
+        out = pallas_decode.decode_batch_pallas(
+            pk, sizes, tile=384, packet_size=P, interpret=True)
+    finally:
+        (pallas_decode.INTERPRET_STREAMS,
+         pallas_decode.STREAMS) = saved
+    for i in range(n):
+        assert out[i, : sizes[i]].tobytes() == \
+            data[i, : sizes[i]].tobytes(), f"lane {i} (size {sizes[i]})"
