@@ -96,8 +96,12 @@ def main():
                     help="STACK_SCALAR sweep: merged full-width scalar "
                          "chains vs the per-stream baseline")
     ap.add_argument("--only", type=int, default=None,
-                    help="run a single --stack config by index (chunked "
-                         "runs: one compile per invocation)")
+                    help="run a single --stack/--offset config by index "
+                         "(chunked runs: one compile per invocation)")
+    ap.add_argument("--offset", action="store_true",
+                    help="OFFSET_STATE sweep: (lower, R, D) coder state "
+                         "vs the (lower, upper, code) baseline, decode "
+                         "then encode")
     args = ap.parse_args()
     D = pallas_decode
 
@@ -108,7 +112,8 @@ def main():
                  ABLATE_REFILL=D.ABLATE_REFILL,
                  PAIR14=D.PAIR14, UNROLL_WORDS=D.UNROLL_WORDS,
                  PAIRED_DIV=D.PAIRED_DIV, FREE_RUN=D.FREE_RUN,
-                 STACK_SCALAR=D.STACK_SCALAR)
+                 STACK_SCALAR=D.STACK_SCALAR,
+                 OFFSET_STATE=D.OFFSET_STATE)
     try:
         # --- the floor: table passes only, full-range, no speculation ---
         if not args.skip_floor:
@@ -155,6 +160,65 @@ def main():
             finally:
                 E.ABLATE_SCALAR = False
             time_enc("ENCODE real")
+            return
+
+        if args.offset:
+            # --- OFFSET_STATE: (lower, R, D) vs (lower, upper, code) ---
+            D.PAIRED_DIV, D.FREE_RUN = True, True
+            # Indices for --only: 0-2 decode configs, 3-4 encode A/B.
+            configs = (
+                (False, 2, 1024),    # adopted r3 baseline
+                (True, 2, 1024),
+                (True, 3, 1536))     # offset + third chain
+            sel = range(5) if args.only is None else [args.only]
+            for i, (off, streams, tile) in enumerate(configs):
+                if i not in sel:
+                    continue
+                D.OFFSET_STATE = off
+                D.STREAMS = streams
+                run(f"{'OFFSET' if off else 'base  '} streams={streams} "
+                    f"tile={tile}", packets, sizes, data, tile=tile,
+                    reps=args.reps)
+            D.OFFSET_STATE = saved["OFFSET_STATE"]
+            D.STREAMS = saved["STREAMS"]
+
+            # Encode: same state change, same A/B.
+            E = pallas_encode
+            og, _ = E.out_geometry(data.shape[1])
+            wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
+            sz = jnp.asarray(sizes.reshape(1, -1))
+
+            def time_enc(tag, check=True):
+                E._encode_call.clear_cache()
+                out = E._encode_call(wd, sz, tile=1024,
+                                     packet_size=data.shape[1],
+                                     out_groups=og)
+                np.asarray(out[1][0:1, 0:1])
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    out = E._encode_call(wd, sz, tile=1024,
+                                         packet_size=data.shape[1],
+                                         out_groups=og)
+                    np.asarray(out[1][0:1, 0:1])
+                    ts.append(time.time() - t0)
+                if check:
+                    # Bit-exactness: reuse the frozen packets from the
+                    # module-level encode (default knobs).
+                    got = np.ascontiguousarray(
+                        np.asarray(out[0])).view(np.uint8)
+                    assert np.array_equal(got, packets), "bitstream diff"
+                print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s",
+                      flush=True)
+
+            for i, off in ((3, False), (4, True)):
+                if i not in sel:
+                    continue
+                E.OFFSET_STATE = off
+                try:
+                    time_enc(f"ENCODE {'OFFSET' if off else 'base  '}")
+                finally:
+                    E.OFFSET_STATE = False
             return
 
         if args.stack:

@@ -88,6 +88,19 @@ FUSE_K = 4          # symbols between table write-backs (clamped to the
 PAIRED_DIV = True   # stack the two exact-divs by cum (for lo2/up2) into
                     # one [2, w] op: same dependency depth, half the issue
                     # count for the div section of the scalar chain
+OFFSET_STATE = False  # carry (lower, R = span, D = code - lower) instead
+                    # of (lower, upper, code).  Every renorm shift maps
+                    # R -> 2R and D -> 2D | bit (the straddle's -0x4000
+                    # cancels in code - lower), so the closed form loses
+                    # the span recompute (upper - lower + 1), the up3
+                    # reconstruction ((ua << k) | mask | 0x8000) and the
+                    # data-dependent straddle xor on code — ~6 issue ops
+                    # and ~3 levels off the per-symbol serial chain.  The
+                    # state rows 1/2 hold R/D end to end (nothing outside
+                    # the symbol step reads upper/code; the debug final
+                    # cursor is row 3).  Search/update and speculation are
+                    # untouched.  Measured on-chip before adoption
+                    # (benchmarks/probe_decode_r3.py --offset).
 STACK_SCALAR = False  # merge the STREAMS scalar chains into full-width
                     # [1, tile] ops: the streams' renorm/div sequences are
                     # op-for-op identical, so stacking them column-wise
@@ -257,8 +270,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 jnp.where(iota8 == 1, ring_read(s), 0),
                 axis=0, keepdims=True)
             st[0:1, lo: lo + w] = zeros            # lower
-            st[1:2, lo: lo + w] = zeros + U16      # upper
-            st[2:3, lo: lo + w] = _shr_u(w1, 16)   # code
+            # OFFSET_STATE: row 1 = R (span, init 0x10000), row 2 = D =
+            # code - lower (init lower = 0 -> D = code either way).
+            st[1:2, lo: lo + w] = zeros + (
+                0x10000 if OFFSET_STATE else U16)  # upper / R
+            st[2:3, lo: lo + w] = _shr_u(w1, 16)   # code / D
             st[3:4, lo: lo + w] = zeros + 48       # bitpos (word 0 + 16)
             st[4:5, lo: lo + w] = zeros            # debug flag
             st[5:6, lo: lo + w] = zeros            # sticky full-table mode
@@ -342,13 +358,17 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         # so over the single pass that counts entries <= unscaled,
         # low = C[sym] = max{C[i] <= unscaled} and
         # high = C[sym+1] = min{C[i] > unscaled} come for free.
-        span = upper - lower + 1
+        # OFFSET_STATE: the `upper` slot holds R = span and the `code`
+        # slot holds D = code - lower, so both the span recompute and the
+        # code - lower subtract vanish from the chain head.
+        span = upper if OFFSET_STATE else upper - lower + 1
         cum_s = jnp.int32(cum)
         if ABLATE_SCALAR:
             # Floor probe: data-varying stand-in, no div chain.
             unscaled = (code + t) & 0x3FFF
         else:
-            unscaled = _exact_div((code - lower + 1) * cum - 1, span)
+            num0 = code + 1 if OFFSET_STATE else code - lower + 1
+            unscaled = _exact_div(num0 * cum - 1, span)
         # Index-packed compare: Cp[i] <= (u<<8 | 255) <=> C[i] <= u.
         # The compare is recomputed inside each consumer (instead of a
         # shared materialized mask) so every table traversal is a single
@@ -525,10 +545,22 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             num = jnp.concatenate([low * span, high * span], axis=0)
             q = _exact_div(num, cum_s)
             lo2 = (lower + q[0:1, :]) & U16
-            up2 = (lower + q[1:2, :] - 1) & U16
+            if OFFSET_STATE:
+                r2 = q[1:2, :] - q[0:1, :]
+                d2 = code - q[0:1, :]
+                up2 = (lo2 + r2 - 1) & U16
+            else:
+                up2 = (lower + q[1:2, :] - 1) & U16
         else:
-            up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
-            lo2 = (lower + _exact_div(low * span, cum_s)) & U16
+            qlo = _exact_div(low * span, cum_s)
+            qhi = _exact_div(high * span, cum_s)
+            lo2 = (lower + qlo) & U16
+            if OFFSET_STATE:
+                r2 = qhi - qlo
+                d2 = code - qlo
+                up2 = (lo2 + r2 - 1) & U16
+            else:
+                up2 = (lower + qhi - 1) & U16
 
         if debug:
             # The reference's -D_DEBUG checks (src/gpuar_kernel.cu):
@@ -539,7 +571,10 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             # the reference); with debug=True the lane is flagged.
             flag = flag | (active & ((unscaled >= cum)
                                      | (unscaled < 0))).astype(i32)
-            flag = flag | (active & (lo2 > up2)).astype(i32)
+            # Range inversion: in offset form lower > upper <=> R2 <= 0
+            # (the up2 reconstruction wraps mod 2**16, so compare R).
+            inv = (r2 <= 0) if OFFSET_STATE else (lo2 > up2)
+            flag = flag | (active & inv).astype(i32)
 
         # Closed-form renormalisation; decode consumes s = m + k bits.
         m = _clz16(lo2 ^ up2)
@@ -549,7 +584,14 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         b = ((ua << 1) | 1) & U16
         k = _clz16((~(a & ~b)) & U16)
         lo3 = (la << k) & 0x7FFF
-        up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+        if OFFSET_STATE:
+            # Every renorm shift doubles the range exactly, so R' falls
+            # out of one shift — the whole up3 reconstruction disappears.
+            # Active lanes have m + k <= 16 (R2 << s <= 0x10000); the
+            # mask only bounds FREE_RUN garbage lanes.
+            up3 = (r2 << (m + k)) & 0x1FFFF
+        else:
+            up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
         s = jnp.where(active, m + k, 0)
 
         # Extract s bits from the CARRIED two-word window [widx, widx+2)
@@ -561,7 +603,13 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             boff > 0, _shr_u(w1, (32 - boff) & 31), 0
         )
         bits = jnp.where(s > 0, _shr_u(win, (32 - s) & 31), 0)
-        code2 = (((code << s) | bits) ^ jnp.where(k >= 1, 0x8000, 0)) & U16
+        if OFFSET_STATE:
+            # D' = (D2 << s) | bits exactly: the straddle's -0x4000 hits
+            # code and lower alike and cancels in D — no xor select.
+            code2 = ((d2 << s) | bits) & U16
+        else:
+            code2 = (((code << s) | bits)
+                     ^ jnp.where(k >= 1, 0x8000, 0)) & U16
         widx = bitpos >> 5
         bitpos = bitpos + s
         adv = (bitpos >> 5) > widx
@@ -964,7 +1012,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         else 1
     stacked = (STACK_SCALAR and streams > 1
                and not (DUAL_TABLE or PAIR14 or FUSE_UPDATE or PHASE_SPLIT
-                        or ABLATE_SCALAR))
+                        or ABLATE_SCALAR or OFFSET_STATE))
 
     kernel = functools.partial(
         _decode_kernel,

@@ -85,6 +85,14 @@ WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
 PAIRED_DIV = True  # stack the two exact-divs by cum (lo2/up2 bounds)
                    # into one [2, w] op — half the issue count of the div
                    # section (the round-3 decode win, applied to encode)
+OFFSET_STATE = False  # carry (lower, R = span) instead of (lower, upper):
+                   # every renorm shift doubles the range exactly, so the
+                   # span recompute and the whole up3 reconstruction
+                   # ((ua << k) | mask | 0x8000) drop out of the serial
+                   # chain; up2 (the emission still needs its top bits)
+                   # comes from lo2 + R2 - 1.  State row 1 holds R end to
+                   # end (_finish never reads upper).  Measured on-chip
+                   # before adoption (probe_decode_r3.py --offset).
 ABLATE_SCALAR = False  # probe knob: gut everything after the model
                        # query/update (renorm, emit, ring, dumps) to a
                        # 1-op carry touch — WRONG OUTPUT, honest timing —
@@ -169,7 +177,8 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                 (base | ((base + 1) << 16))[:, None], (256, w)
             )
             st[0:1, lo: lo + w] = zeros            # lower
-            st[1:2, lo: lo + w] = zeros + U16      # upper
+            st[1:2, lo: lo + w] = zeros + (
+                0x10000 if OFFSET_STATE else U16)  # upper / R
             st[2:3, lo: lo + w] = zeros            # underflow
             st[3:4, lo: lo + w] = zeros            # acc (bit buffer)
             st[4:5, lo: lo + w] = zeros            # nbuf
@@ -320,16 +329,27 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
             return ((lower + low) & U16, upper, under, acc, nbuf, wcur,
                     wbase, err)
 
-        span = upper - lower + 1
+        # OFFSET_STATE: the `upper` slot holds R = span (see the knob).
+        span = upper if OFFSET_STATE else upper - lower + 1
         cum_s = jnp.int32(cum)
         if PAIRED_DIV:
             num = jnp.concatenate([low * span, high * span], axis=0)
             q = _exact_div(num, cum_s)
             lo2 = (lower + q[0:1, :]) & U16
-            up2 = (lower + q[1:2, :] - 1) & U16
+            if OFFSET_STATE:
+                r2 = q[1:2, :] - q[0:1, :]
+                up2 = (lo2 + r2 - 1) & U16
+            else:
+                up2 = (lower + q[1:2, :] - 1) & U16
         else:
-            up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
-            lo2 = (lower + _exact_div(low * span, cum_s)) & U16
+            qlo = _exact_div(low * span, cum_s)
+            qhi = _exact_div(high * span, cum_s)
+            lo2 = (lower + qlo) & U16
+            if OFFSET_STATE:
+                r2 = qhi - qlo
+                up2 = (lo2 + r2 - 1) & U16
+            else:
+                up2 = (lower + qhi - 1) & U16
 
         # Closed-form renormalisation (derivation: ops/xla_codec.py).
         m = _clz16(lo2 ^ up2)
@@ -339,7 +359,12 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
         b = ((ua << 1) | 1) & U16
         k = _clz16((~(a & ~b)) & U16)
         lo3 = (la << k) & 0x7FFF
-        up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+        if OFFSET_STATE:
+            # R' = R2 << (m + k): each shift doubles the range exactly.
+            # Active lanes have m + k <= 16; the mask bounds stale lanes.
+            up3 = (r2 << (m + k)) & 0x1FFFF
+        else:
+            up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
 
         topm = (up2 >> (16 - m)) & ((1 << m) - 1)
         has = (m > 0) & active
