@@ -165,22 +165,25 @@ def main():
         if args.offset:
             # --- OFFSET_STATE: (lower, R, D) vs (lower, upper, code) ---
             D.PAIRED_DIV, D.FREE_RUN = True, True
-            # Indices for --only: 0-2 decode configs, 3-4 encode A/B.
+            # Indices for --only: 0-3 decode configs, 4-5 encode A/B.
             configs = (
-                (False, 2, 1024),    # adopted r3 baseline
-                (True, 2, 1024),
-                (True, 3, 1536))     # offset + third chain
-            sel = range(5) if args.only is None else [args.only]
-            for i, (off, streams, tile) in enumerate(configs):
+                (False, 2, 1024, False),   # adopted r3 baseline
+                (True, 2, 1024, False),
+                (True, 3, 1536, False),    # offset + third chain
+                (True, 2, 1024, True))     # offset + stacked scalar
+            sel = range(6) if args.only is None else [args.only]
+            for i, (off, streams, tile, stk) in enumerate(configs):
                 if i not in sel:
                     continue
                 D.OFFSET_STATE = off
                 D.STREAMS = streams
+                D.STACK_SCALAR = stk
                 run(f"{'OFFSET' if off else 'base  '} streams={streams} "
-                    f"tile={tile}", packets, sizes, data, tile=tile,
-                    reps=args.reps)
+                    f"tile={tile}{' STACK' if stk else ''}",
+                    packets, sizes, data, tile=tile, reps=args.reps)
             D.OFFSET_STATE = saved["OFFSET_STATE"]
             D.STREAMS = saved["STREAMS"]
+            D.STACK_SCALAR = saved["STACK_SCALAR"]
 
             # Encode: same state change, same A/B.
             E = pallas_encode
@@ -211,7 +214,7 @@ def main():
                 print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s",
                       flush=True)
 
-            for i, off in ((3, False), (4, True)):
+            for i, off in ((4, False), (5, True)):
                 if i not in sel:
                     continue
                 E.OFFSET_STATE = off

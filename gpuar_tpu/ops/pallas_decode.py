@@ -702,8 +702,10 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 active = t < raw_sizes
                 cum = 256 + t
                 cum_s = jnp.int32(cum)
-                span = upper - lower + 1
-                unscaled = _exact_div((code - lower + 1) * cum - 1, span)
+                # OFFSET_STATE: slots hold R/D (see scalar_step's twin).
+                span = upper if OFFSET_STATE else upper - lower + 1
+                num0 = code + 1 if OFFSET_STATE else code - lower + 1
+                unscaled = _exact_div(num0 * cum - 1, span)
                 if mode == "win":
                     # Full-width hull bookkeeping (hoisted out of the
                     # per-stream search): miss + C[128] carry.  sym==127
@@ -746,11 +748,17 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 num = jnp.concatenate([low * span, high * span], axis=0)
                 q = _exact_div(num, cum_s)
                 lo2 = (lower + q[0:1, :]) & U16
-                up2 = (lower + q[1:2, :] - 1) & U16
+                if OFFSET_STATE:
+                    r2 = q[1:2, :] - q[0:1, :]
+                    d2 = code - q[0:1, :]
+                    up2 = (lo2 + r2 - 1) & U16
+                else:
+                    up2 = (lower + q[1:2, :] - 1) & U16
                 if debug:
                     flag = flag | (active & ((unscaled >= cum)
                                              | (unscaled < 0))).astype(i32)
-                    flag = flag | (active & (lo2 > up2)).astype(i32)
+                    inv = (r2 <= 0) if OFFSET_STATE else (lo2 > up2)
+                    flag = flag | (active & inv).astype(i32)
                 m = _clz16(lo2 ^ up2)
                 la = (lo2 << m) & U16
                 ua = ((up2 << m) | ((1 << m) - 1)) & U16
@@ -758,7 +766,10 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 b = ((ua << 1) | 1) & U16
                 k = _clz16((~(a & ~b)) & U16)
                 lo3 = (la << k) & 0x7FFF
-                up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+                if OFFSET_STATE:
+                    up3 = (r2 << (m + k)) & 0x1FFFF
+                else:
+                    up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
                 s_bits = jnp.where(active, m + k, 0)
                 boff = bitpos & 31
                 win = (w0 << boff) | jnp.where(
@@ -766,8 +777,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 )
                 bits = jnp.where(s_bits > 0,
                                  _shr_u(win, (32 - s_bits) & 31), 0)
-                code2 = (((code << s_bits) | bits)
-                         ^ jnp.where(k >= 1, 0x8000, 0)) & U16
+                if OFFSET_STATE:
+                    code2 = ((d2 << s_bits) | bits) & U16
+                else:
+                    code2 = (((code << s_bits) | bits)
+                             ^ jnp.where(k >= 1, 0x8000, 0)) & U16
                 widx = bitpos >> 5
                 bitpos = bitpos + s_bits
                 adv = (bitpos >> 5) > widx
@@ -1012,7 +1026,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         else 1
     stacked = (STACK_SCALAR and streams > 1
                and not (DUAL_TABLE or PAIR14 or FUSE_UPDATE or PHASE_SPLIT
-                        or ABLATE_SCALAR or OFFSET_STATE))
+                        or ABLATE_SCALAR))
 
     kernel = functools.partial(
         _decode_kernel,

@@ -52,8 +52,9 @@ def test_offset_encode_bitstreams_match_golden(rng):
             f"lane {i} (size {sizes[i]}) diverged"
 
 
-@pytest.mark.parametrize("streams", [1, 2])
-def test_offset_decode_roundtrip(rng, streams):
+@pytest.mark.parametrize("streams,stacked",
+                         [(1, False), (2, False), (2, True)])
+def test_offset_decode_roundtrip(rng, streams, stacked):
     P = 256
     n = 256
     data, sizes = _mixed_corpus(rng, n, P)
@@ -64,15 +65,17 @@ def test_offset_decode_roundtrip(rng, streams):
     for i, e in enumerate(enc):
         pk[i, : len(e)] = np.frombuffer(e, np.uint8)
 
-    saved = (pallas_decode.OFFSET_STATE, pallas_decode.INTERPRET_STREAMS)
+    saved = (pallas_decode.OFFSET_STATE, pallas_decode.INTERPRET_STREAMS,
+             pallas_decode.STACK_SCALAR)
     pallas_decode.OFFSET_STATE = True
     pallas_decode.INTERPRET_STREAMS = streams > 1
+    pallas_decode.STACK_SCALAR = stacked
     try:
         out = pallas_decode.decode_batch_pallas(
             pk, sizes, tile=256, packet_size=P, interpret=True)
     finally:
-        (pallas_decode.OFFSET_STATE,
-         pallas_decode.INTERPRET_STREAMS) = saved
+        (pallas_decode.OFFSET_STATE, pallas_decode.INTERPRET_STREAMS,
+         pallas_decode.STACK_SCALAR) = saved
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"lane {i} (size {sizes[i]})"
