@@ -36,11 +36,17 @@ enable_compilation_cache()  # probe configs recompile ~minutes on the
                             # tunnel without the persistent cache
 
 
-def corpus(n_packets=9216, psize=8192):
-    # 9216 = 9 x 1024 = 8 x 1152 = 12 x 768: divisible by every probed
-    # tile, so no inactive pad lanes skew any config's GB/s.
-    rng = np.random.default_rng(0xBE7C)
-    data = rng.integers(0, 256, (n_packets, psize), np.uint8)
+def corpus(n_packets=9216, psize=8192, kind="random"):
+    # 9216 = 9 x 1024 = 8 x 1152 = 12 x 768 = 6 x 1536: divisible by
+    # every probed tile, so no inactive pad lanes skew any config's GB/s.
+    if kind == "proxy":
+        from benchmarks import enwik_proxy
+        data = np.frombuffer(
+            enwik_proxy.generate(n_packets * psize), np.uint8
+        ).reshape(n_packets, psize).copy()
+    else:
+        rng = np.random.default_rng(0xBE7C)
+        data = rng.integers(0, 256, (n_packets, psize), np.uint8)
     sizes = np.full(n_packets, psize, np.int32)
     og, _ = pallas_encode.out_geometry(psize)
     wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
@@ -89,6 +95,10 @@ def run(name, packets, sizes, data, *, tile=1024, reps=5, check=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--corpus", choices=["random", "proxy"],
+                    default="random",
+                    help="proxy = pinned enwik stand-in (exercises the "
+                         "speculative hull-window path)")
     ap.add_argument("--floor-only", action="store_true")
     ap.add_argument("--skip-floor", action="store_true")
     ap.add_argument("--encode-floor", action="store_true")
@@ -105,7 +115,7 @@ def main():
     args = ap.parse_args()
     D = pallas_decode
 
-    data, packets, sizes = corpus()
+    data, packets, sizes = corpus(kind=args.corpus)
     saved = dict(FUSE_UPDATE=D.FUSE_UPDATE, FUSE_K=D.FUSE_K,
                  STREAMS=D.STREAMS, DECODE_HULL=D.DECODE_HULL,
                  ABLATE_SCALAR=D.ABLATE_SCALAR,
