@@ -121,6 +121,29 @@ inline uint32_t div_cum(uint32_t x, uint32_t d) {
   return static_cast<uint32_t>((x * kDiv.mul[d]) >> kDiv.sh[d]);
 }
 
+// Magic division by the decode span (d <= 65536; exact at d = 2^16 too —
+// shown by direct expansion).  The table is 512 KiB and span access is
+// data-dependent, trading the ~26-cycle divider for a possible L2 miss;
+// interleaved A/B (hostab.py, best-of-5): +2.6% random / +1.9% text
+// decode — renormalisation keeps hot spans in (2^14, 2^16], so the
+// working set is the table's top ~384 KiB and mostly hits.  Opt out with
+// -DTG_NO_SPAN_MAGIC.
+#ifndef TG_NO_SPAN_MAGIC
+struct SpanTab {
+  uint64_t mul[65537];
+  SpanTab() {
+    for (uint32_t d = 1; d <= 65536; ++d)
+      mul[d] = (static_cast<uint64_t>(1) << (63 - __builtin_clz(d))) / d + 1;
+  }
+};
+const SpanTab kSpan;
+inline uint32_t div_span(uint32_t x, uint32_t d) {
+  return static_cast<uint32_t>((x * kSpan.mul[d]) >> (63 - __builtin_clz(d)));
+}
+#else
+inline uint32_t div_span(uint32_t x, uint32_t d) { return x / d; }
+#endif
+
 // Narrow [lo, hi] to sym's cumulative share, then adapt the model.
 // Mirrors applySymbolRange (src/gpuar_kernel.cu:256-299): new hi uses old lo,
 // products are < 2^31, results wrap to 16 bits.
@@ -290,7 +313,7 @@ struct Dec {
   // second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
   inline void step(int i) {
     const uint32_t span = hi - lo + 1;
-    const uint32_t unscaled = ((code - lo + 1) * m.cumprob - 1) / span;
+    const uint32_t unscaled = div_span((code - lo + 1) * m.cumprob - 1, span);
     const int sym = m.find_bump(unscaled);
     out[i] = static_cast<uint8_t>(sym);
     const uint32_t c_hi = static_cast<uint32_t>(m.cum[sym + 1]) - 1;
