@@ -46,10 +46,26 @@ struct Model {
   // formulation defeated the vectoriser and cost ~70% of encode time
   // (ablation in benchmarks/PROBES_r3.md); this form is 8 AVX-512BW
   // iterations and doubled encode throughput.
+  // The intrinsics form of the masked pass measured +4% random / +2.5%
+  // text encode over the auto-vectorised loop (hostab.py interleaved
+  // A/B) — g++'s codegen for the scalar form round-trips the compare
+  // through a vector instead of a k-register.  -DTG_NO_MASKPOP_BUMP
+  // opts out.
   void bump(int sym) {
+#if defined(TG_USE_MASKPOP) && !defined(TG_NO_MASKPOP_BUMP)
+    const __m512i t = _mm512_set1_epi16(static_cast<short>(cum[sym]));
+    const __m512i one = _mm512_set1_epi16(1);
+    for (int v = 0; v < 8; ++v) {
+      __m512i c = _mm512_loadu_si512(cum + 1 + v * 32);
+      const __mmask32 k = _mm512_cmpgt_epu16_mask(c, t);
+      _mm512_storeu_si512(cum + 1 + v * 32,
+                          _mm512_mask_add_epi16(c, k, c, one));
+    }
+#else
     const uint16_t t = cum[sym];
     for (int i = 1; i < kModelSize; ++i)
       cum[i] = static_cast<uint16_t>(cum[i] + (cum[i] > t));
+#endif
     ++cumprob;
   }
 
