@@ -206,10 +206,19 @@ struct BitIn {
   // Take k bits MSB-first, k <= 32.  Reads past the stream return 0
   // (the values never matter: decode stops at the framed raw length).
   inline uint32_t take(int k) {
-    while (n < 32) {
-      win = (win << 8) | (p < end ? *p : 0u);
-      ++p;
-      n += 8;
+    if (n < 32) {  // refill 32 bits in one unaligned big-endian load
+      uint32_t w;
+      if (p + 4 <= end) {
+        std::memcpy(&w, p, 4);
+        w = __builtin_bswap32(w);
+      } else {  // tail: reads past the stream return 0 (values unused)
+        w = 0;
+        for (int i = 0; i < 4; ++i)
+          w = (w << 8) | (p + i < end ? p[i] : 0u);
+      }
+      win = (win << 32) | w;
+      p += 4;
+      n += 32;
     }
     n -= k;
     return static_cast<uint32_t>(win >> n) & (k == 32 ? 0xFFFFFFFFu
