@@ -34,10 +34,24 @@ struct Model {
   // C[i] = cumulative count of symbols < i.  u16 suffices: max 256+8192.
   uint16_t cum[kModelSize];
   uint32_t cumprob;
+#ifndef TG_NO_HULL
+  // Hull window (the host mirror of the Pallas kernels' symbol-hull
+  // windowed model passes): rows 1..live are maintained; rows i > live
+  // are never written, and because every coded symbol is < live their
+  // TRUE value is always i + nsym (nsym = cumprob - 256) — recoverable
+  // in closed form without reading them.  live only grows (sticky), in
+  // 32-row (one AVX-512 u16 vector) steps.
+  int live;
+#endif
 
-  void reset() {
+  void reset(int live0 = 256) {
     for (int i = 0; i < kModelSize; ++i) cum[i] = static_cast<uint16_t>(i);
     cumprob = kInitCum;
+#ifndef TG_NO_HULL
+    live = live0;
+#else
+    (void)live0;
+#endif
   }
 
   // Account one occurrence of `sym`.  The suffix increment is phrased as
@@ -51,11 +65,15 @@ struct Model {
   // A/B) — g++'s codegen for the scalar form round-trips the compare
   // through a vector instead of a k-register.  -DTG_NO_MASKPOP_BUMP
   // opts out.
-  void bump(int sym) {
+  // One bump pass over rows 1..NV*32.  NV is a template constant so the
+  // full-width (NV=8) path keeps its fully-unrolled codegen; the hull
+  // paths take the runtime-width variant (nvec<8 by construction there).
+  template <int NV>
+  inline void bump_rows(int sym, int nvec) {
 #if defined(TG_USE_MASKPOP) && !defined(TG_NO_MASKPOP_BUMP)
     const __m512i t = _mm512_set1_epi16(static_cast<short>(cum[sym]));
     const __m512i one = _mm512_set1_epi16(1);
-    for (int v = 0; v < 8; ++v) {
+    for (int v = 0; v < (NV ? NV : nvec); ++v) {
       __m512i c = _mm512_loadu_si512(cum + 1 + v * 32);
       const __mmask32 k = _mm512_cmpgt_epu16_mask(c, t);
       _mm512_storeu_si512(cum + 1 + v * 32,
@@ -63,9 +81,17 @@ struct Model {
     }
 #else
     const uint16_t t = cum[sym];
-    for (int i = 1; i < kModelSize; ++i)
+    for (int i = 1; i < 1 + (NV ? NV : nvec) * 32; ++i)
       cum[i] = static_cast<uint16_t>(cum[i] + (cum[i] > t));
 #endif
+  }
+
+  void bump(int sym) {
+    // Encode keeps the full unrolled pass: an exact per-packet hull was
+    // measured NET-NEGATIVE for encode (text -1%, random -2~3%: the max
+    // scan + per-call width dispatch cost more than the halved pass
+    // saves — the encoder is renorm-chain-bound, not pass-bound).
+    bump_rows<8>(sym, 8);
     ++cumprob;
   }
 
@@ -85,11 +111,12 @@ struct Model {
   // Interleaved A/B (benchmarks/hostab.py, best-of-5): random decode
   // 27.3 -> 30.5 MB/s (+12%), text 26.5 -> 30.5 (+15%).  Opt out with
   // -DTG_NO_MASKPOP (non-AVX512BW builds use the portable loop below).
-  int find_bump(uint32_t unscaled) {
+  template <int NV>
+  inline int gt_pass(uint32_t unscaled, int nvec) {
     const __m512i u = _mm512_set1_epi16(static_cast<short>(unscaled));
     const __m512i one = _mm512_set1_epi16(1);
     uint32_t gt = 0;
-    for (int v = 0; v < 8; ++v) {
+    for (int v = 0; v < (NV ? NV : nvec); ++v) {
       __m512i c = _mm512_loadu_si512(cum + 1 + v * 32);
       const __mmask32 k = _mm512_cmpgt_epu16_mask(c, u);
       _mm512_storeu_si512(cum + 1 + v * 32,
@@ -97,18 +124,57 @@ struct Model {
       gt += static_cast<uint32_t>(__builtin_popcount(
           static_cast<uint32_t>(k)));
     }
-    return 256 - static_cast<int>(gt);
+    return static_cast<int>(gt);
   }
 #else
-  int find_bump(uint32_t unscaled) {
+  template <int NV>
+  inline int gt_pass(uint32_t unscaled, int nvec) {
     const uint16_t u = static_cast<uint16_t>(unscaled);  // < cumprob <= 8448
     uint16_t gt = 0;  // u16 keeps the reduction in 32-lane vector adds
-    for (int i = 1; i < kModelSize; ++i) {
+    for (int i = 1; i < 1 + (NV ? NV : nvec) * 32; ++i) {
       const uint16_t g = cum[i] > u;
       cum[i] = static_cast<uint16_t>(cum[i] + g);
       gt = static_cast<uint16_t>(gt + g);
     }
-    return 256 - gt;
+    return gt;
+  }
+#endif
+
+  // HULL=true: windowed pass + closed-form tail while live < 256 (the
+  // caller switches to HULL=false once every lockstep decoder has gone
+  // sticky-full, so full-width packets pay zero per-symbol dispatch).
+  template <bool HULL>
+  int find_bump(uint32_t unscaled) {
+#ifndef TG_NO_HULL
+    if (HULL && live != 256)
+      return tail_fix(unscaled, gt_pass<0>(unscaled, live >> 5));
+#endif
+    return 256 - gt_pass<8>(unscaled, 8);
+  }
+
+#ifndef TG_NO_HULL
+  // Closed-form tail for the windowed find: rows i in (live, 256] were
+  // never written, and since every coded symbol so far is < live, their
+  // true value is i + nsym — so their contribution to the > count is
+  // 256 - clamp(unscaled - nsym, live, 256) without touching memory.
+  // The in-window value-based update is correct even when the symbol
+  // lands in the tail (then cum[live] <= unscaled, so no live row moves);
+  // a tail hit materializes the tail at its true post-update values and
+  // grows the window to cover the symbol (sticky — windows never shrink,
+  // which is what keeps the tail invariant sound).
+  int tail_fix(uint32_t unscaled, int gt_window) {
+    const int nsym = static_cast<int>(cumprob) - 256;  // pre-increment
+    int t = static_cast<int>(unscaled) - nsym;  // tail rows i > t count
+    if (t < live) t = live;
+    if (t > 256) t = 256;
+    const int sym = 256 - (gt_window + (256 - t));
+    if (sym + 1 > live) {  // miss: materialize true tail, grow window
+      for (int i = live + 1; i < kModelSize; ++i)
+        cum[i] = static_cast<uint16_t>(i + nsym + (i > sym));
+      live = (sym + 2 + 31) & ~31;
+      if (live > 256) live = 256;
+    }
+    return sym;
   }
 #endif
 };
@@ -324,7 +390,7 @@ struct Dec {
   void start(const uint8_t* pkt, uint8_t* o) {
     const int total = pkt[0] | (pkt[1] << 8);
     out = o;
-    m.reset();
+    m.reset(32);  // decode hull starts minimal and grows on tail hits
     bi = BitIn{pkt + kHeader, pkt + total};
     code = bi.take(16);
     lo = 0;
@@ -336,10 +402,11 @@ struct Dec {
   // Mirror renormalisation in closed form (readEncodedBits :787-836); the
   // straddle op (code ^= kSecond then shift in a bit) removes code's
   // second bit exactly like lo/hi: 01x -> 0x b, 10x -> 1x b.
+  template <bool HULL>
   inline void step(int i) {
     const uint32_t span = hi - lo + 1;
     const uint32_t unscaled = div_span((code - lo + 1) * m.cumprob - 1, span);
-    const int sym = m.find_bump(unscaled);
+    const int sym = m.find_bump<HULL>(unscaled);
     out[i] = static_cast<uint8_t>(sym);
     const uint32_t c_hi = static_cast<uint32_t>(m.cum[sym + 1]) - 1;
     hi = (lo + div_cum(c_hi * span, m.cumprob) - 1) & kLowMask;
@@ -374,10 +441,26 @@ constexpr int kWay = TG_WAY;
 
 // Lockstep over K started decoders (equal symbol count).  The inner loop
 // unrolls; the hardware overlaps the K independent chains.
+// Hull phase first: windowed model passes while any decoder's window is
+// still narrow (text-class packets stay here the whole packet, +5-6%);
+// once every decoder is sticky-full — a few symbols in, for random-class
+// packets — the remainder runs the exact full-width path with zero
+// per-symbol dispatch.
 template <int K>
 void dec_lockstep(Dec* d, int raw) {
-  for (int i = 0; i < raw; ++i)
-    for (int k = 0; k < K; ++k) d[k].step(i);
+  int i = 0;
+#ifndef TG_NO_HULL
+  while (i < raw) {  // check the switch once per 32 symbols, not per step
+    const int stop = raw - i < 32 ? raw : i + 32;
+    for (; i < stop; ++i)
+      for (int k = 0; k < K; ++k) d[k].step<true>(i);
+    bool full = true;
+    for (int k = 0; k < K; ++k) full &= d[k].m.live == 256;
+    if (full) break;
+  }
+#endif
+  for (; i < raw; ++i)
+    for (int k = 0; k < K; ++k) d[k].step<false>(i);
 }
 
 }  // namespace
@@ -399,7 +482,7 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
   const int raw = in[2] | (in[3] << 8);
   Dec d;
   d.start(in, out);
-  for (int i = 0; i < raw; ++i) d.step(i);
+  dec_lockstep<1>(&d, raw);
   return raw;
 }
 
