@@ -118,3 +118,22 @@ def test_property_random_roundtrips(rng):
         back = native.decode_stream(np.frombuffer(blob, np.uint8),
                                     len(data))
         assert back == data, f"trial {trial} size {size} kind {kind}"
+
+
+def test_native_decode_hull_window_misses():
+    """Adversarial inputs for the host decoder's hull window (golden.cpp
+    Model::tail_fix): symbols arriving in a rising staircase force a tail
+    miss + materialize at every window growth step; a high byte first
+    forces immediate sticky-full; boundary bytes 31/32 and 255 exercise
+    the 32-row rounding and the top clamp."""
+    cases = [
+        bytes(range(0, 256, 8)) * 64,              # rising staircase, repeated
+        bytes([255]) + bytes(1000),                 # immediate full, then zeros
+        bytes([31, 32, 63, 64, 95, 96]) * 300,      # window-boundary walk
+        bytes(reversed(range(256))) * 4,            # descending (full at once)
+        bytes([0] * 4000 + [255] + [0] * 4000),     # late single tail hit
+    ]
+    for i, pkt in enumerate(cases):
+        enc = native.encode_packet(pkt)
+        assert enc == golden.encode_packet(pkt), f"case {i}: encode diverged"
+        assert native.decode_packet(enc) == pkt, f"case {i}: decode diverged"
