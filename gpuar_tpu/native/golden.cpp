@@ -86,12 +86,12 @@ struct Model {
 #endif
   }
 
+  // NV is fixed per packet (encode's hull is exact — see Enc): the whole
+  // symbol loop is instantiated per width class, so there is no per-call
+  // width dispatch (a runtime-width bump measured NET-NEGATIVE, -1~3%).
+  template <int NV>
   void bump(int sym) {
-    // Encode keeps the full unrolled pass: an exact per-packet hull was
-    // measured NET-NEGATIVE for encode (text -1%, random -2~3%: the max
-    // scan + per-call width dispatch cost more than the halved pass
-    // saves — the encoder is renorm-chain-bound, not pass-bound).
-    bump_rows<8>(sym, 8);
+    bump_rows<NV>(sym, NV);
     ++cumprob;
   }
 
@@ -228,12 +228,13 @@ inline uint32_t div_span(uint32_t x, uint32_t d) { return x / d; }
 
 // Narrow [lo, hi] to sym's cumulative share, then adapt the model.
 // Mirrors applySymbolRange (src/gpuar_kernel.cu:256-299): new hi uses old lo,
-// products are < 2^31, results wrap to 16 bits.
+// products are < 2^31, results wrap to 16 bits.  NV: see Model::bump.
+template <int NV>
 inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
   const uint32_t span = hi - lo + 1;
   hi = (lo + div_cum(m.cum[sym + 1] * span, m.cumprob) - 1) & kLowMask;
   lo = (lo + div_cum(m.cum[sym] * span, m.cumprob)) & kLowMask;
-  m.bump(sym);
+  m.bump<NV>(sym);
 }
 
 struct BitOut {
@@ -353,8 +354,9 @@ struct Enc {
   // Encode one symbol: range narrowing + closed-form renormalisation
   // (equivalent to writeEncodedBits :321-367: the serial loop is always
   // m settled emissions then k straddles).
+  template <int NV>
   inline void step(uint8_t sym) {
-    apply_range(m, sym, lo, hi);
+    apply_range<NV>(m, sym, lo, hi);
     const int ms = settled_count(lo, hi);
     if (ms) {
       const uint32_t bits = lo >> (16 - ms);  // the m common MSBs
@@ -483,7 +485,22 @@ extern "C" {
 int tg_encode_packet(const uint8_t* in, int n, uint8_t* out) {
   Enc e;
   e.start(out);
-  for (int i = 0; i < n; ++i) e.step(in[i]);
+#ifndef TG_NO_HULL
+  // Exact per-packet hull: the encoder never reads model rows above
+  // max(in)+1, so the whole symbol loop dispatches ONCE to a bump width
+  // class (ASCII/text packets take the half pass; the max scan is ~0.5%
+  // of packet time).  Per-call width dispatch measured -1~3%; this
+  // per-packet template dispatch leaves the full-width loop untouched.
+  uint8_t mx = 0;
+  for (int i = 0; i < n; ++i) mx = in[i] > mx ? in[i] : mx;
+  if (mx < 128) {
+    for (int i = 0; i < n; ++i) e.step<4>(in[i]);
+  } else {
+    for (int i = 0; i < n; ++i) e.step<8>(in[i]);
+  }
+#else
+  for (int i = 0; i < n; ++i) e.step<8>(in[i]);
+#endif
   return e.finish(n);
 }
 
