@@ -240,7 +240,7 @@ inline void apply_range(Model& m, int sym, uint32_t& lo, uint32_t& hi) {
 struct BitOut {
   uint8_t* p;
   uint64_t acc = 0;
-  int n = 0;  // bits pending in acc (right-aligned); < 8 between calls
+  int n = 0;  // bits pending in acc (right-aligned); < 32 between calls
 
   // Append k bits (v's low k bits, MSB-first), k <= 32.
   // Flushes 32 bits in one big-endian store once enough accumulate (the
