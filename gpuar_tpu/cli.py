@@ -21,8 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tpuar",
         description="TPU-native block-parallel adaptive arithmetic coder",
     )
-    p.add_argument("mode", nargs="?", default="c", choices=["c", "d"],
-                   help="c: compress (default), d: decompress")
+    p.add_argument("mode", nargs="?", default="c", choices=["c", "d", "v"],
+                   help="c: compress (default), d: decompress, v: verify "
+                        "archive integrity (extension; no output written)")
     p.add_argument("--in", dest="input", required=True, help="input file")
     p.add_argument("--out", dest="output", default="output.gip",
                    help="output file (default output.gip)")
@@ -47,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "invariants + bitstream-overrun detection per "
                         "packet (reference -D_DEBUG parity); corrupt "
                         "packets raise instead of decoding garbage")
+    p.add_argument("--deep", action="store_true",
+                   help="with v: also decode every packet on the host "
+                        "codec and flag bitstream overruns (detects "
+                        "corrupt well-framed packets)")
     p.add_argument("--nointeractive", action="store_true",
                    help="suppress progress output")
     p.add_argument("--json", action="store_true",
@@ -113,6 +118,31 @@ def main(argv=None) -> int:
     if args.debug and args.host:
         parser.error("--debug requires the accelerator decode path "
                      "(drop --host)")
+    if args.deep and args.mode != "v":
+        parser.error("--deep only applies to verification (mode 'v')")
+
+    if args.mode == "v":
+        import json as _json
+
+        from gpuar_tpu.pipeline import verify_archive
+        from gpuar_tpu.utils.stats import SplitTimer
+
+        try:
+            with SplitTimer() as t:
+                result = verify_archive(args.input, deep=args.deep)
+        except (OSError, ValueError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        result["seconds"] = round(t.total, 6)
+        if args.json:
+            print(_json.dumps(result))
+        else:
+            print(f"{args.input}: OK — {result['packets']} packets, "
+                  f"{result['uncompressed_size']} bytes raw, "
+                  f"{result['compressed_size']} bytes compressed"
+                  f"{' (deep decode verified)' if args.deep else ''}")
+        return 0
+
     monitor = ProgressMonitor(enabled=not args.nointeractive and not args.json)
     compressor = make_compressor(args)
 

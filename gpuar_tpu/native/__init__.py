@@ -55,6 +55,8 @@ def load() -> ctypes.CDLL:
             lib.tg_encode_packet.restype = ctypes.c_int
             lib.tg_decode_packet.argtypes = [u8p, u8p]
             lib.tg_decode_packet.restype = ctypes.c_int
+            lib.tg_decode_packet_delta.argtypes = [u8p, u8p]
+            lib.tg_decode_packet_delta.restype = ctypes.c_long
             lib.tg_encode_batch.argtypes = [
                 u8p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long, i32p]
             lib.tg_encode_batch.restype = ctypes.c_long
@@ -106,6 +108,21 @@ def decode_packet(packet: bytes) -> bytes:
     out = np.empty(max(raw, 1), dtype=np.uint8)
     n = lib.tg_decode_packet(_u8p(np.ascontiguousarray(src)), _u8p(out))
     return out[:n].tobytes()
+
+
+def decode_packet_delta(packet: bytes) -> tuple[bytes, int]:
+    """(decoded bytes, bit-consumption delta vs the framed body length).
+
+    A delta beyond +16 bits of lookahead marks a corrupt well-framed
+    packet (golden.cpp tg_decode_packet_delta — the host mirror of the
+    kernel's overrun flag, pallas_decode.check_debug_flags)."""
+    lib = load()
+    src = np.frombuffer(packet, dtype=np.uint8)
+    raw = packet[2] | (packet[3] << 8)
+    out = np.empty(max(raw, 1), dtype=np.uint8)
+    delta = lib.tg_decode_packet_delta(_u8p(np.ascontiguousarray(src)),
+                                       _u8p(out))
+    return out[:raw].tobytes(), int(delta)
 
 
 def encode_batch(data: np.ndarray, packet_size: int = UNCOMPRESSED_PACKET_SIZE,

@@ -514,6 +514,25 @@ int tg_decode_packet(const uint8_t* in, uint8_t* out) {
   return raw;
 }
 
+// Decode one packet and report its bit-consumption delta: bits taken by
+// the coder minus the framed body length in bits.  The decoder
+// legitimately reads up to 16 lookahead bits past the written stream
+// (the primed 16-bit code window; clean slack measured 7..13 bits, same
+// math as the TPU kernel's overrun flag, pallas_decode.check_debug_flags)
+// — a delta beyond +16 is the detectable signature of a corrupt
+// well-framed packet.  Used by the CLI `v --deep` verifier.
+long tg_decode_packet_delta(const uint8_t* in, uint8_t* out) {
+  const int total = in[0] | (in[1] << 8);
+  const int raw = in[2] | (in[3] << 8);
+  Dec d;
+  d.start(in, out);
+  dec_lockstep<1>(&d, raw);
+  const long loaded =
+      static_cast<long>(d.bi.p - (in + kHeader)) * 8;  // bits fetched
+  const long taken = loaded - d.bi.n;                  // minus buffered
+  return taken - static_cast<long>(total - kHeader) * 8;
+}
+
 // Encode `total` raw bytes as ceil(total/packet_size) packets written at
 // fixed `out_stride` offsets. lengths[i] receives each packet's total size.
 // Returns the packet count.

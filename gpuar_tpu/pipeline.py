@@ -428,3 +428,68 @@ def generate_random_file(path: str | Path, size: int, seed: int | None = None) -
             n = min(remaining, 64 * 1024 * 1024)
             f.write(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
             remaining -= n
+
+
+def verify_archive(path: str | Path, deep: bool = False) -> dict:
+    """Integrity-check a ``.gip`` archive without writing any output
+    (CLI verb ``v`` — an extension; the reference has no verify mode,
+    only the manual md5 procedure in its README:24-29).
+
+    Structural pass (always): file-header version/size validation, a
+    full packet-chain walk (header bounds, body completeness), only the
+    final packet may be short, and the summed raw sizes must equal the
+    file header's uncompressed size.
+
+    Deep pass (``deep=True``): additionally decodes every packet on the
+    host codec and applies the kernel's bitstream-overrun rule (the
+    decoder legitimately reads at most 16 lookahead bits past the framed
+    stream — pallas_decode.check_debug_flags; native
+    tg_decode_packet_delta is the host mirror).  Catches corrupt
+    well-framed packets that release-mode decode would silently turn
+    into garbage, exactly like the reference's ``-D_DEBUG`` build.
+
+    Returns a stats dict on success; raises ContainerError (or OSError)
+    on the first violation.
+    """
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        header = container.FileHeader.from_bytes(
+            f.read(container.HEADER_LENGTH), actual_file_size=size)
+        if header.compressed_size != size:
+            raise container.ContainerError(
+                f"Incorrect file format: header compressed size "
+                f"{header.compressed_size} != actual file size {size}")
+        total_raw = 0
+        n = 0
+        short_at = None
+        for pkt in container.read_packets(f):
+            total, raw = container.packet_sizes(pkt[:4])
+            if raw == 0:
+                raise container.ContainerError(
+                    f"Incorrect file format: packet {n} has zero raw size")
+            if short_at is not None:
+                raise container.ContainerError(
+                    f"Incorrect file format: short packet {short_at} "
+                    f"before the final packet")
+            if raw < UNCOMPRESSED_PACKET_SIZE:
+                short_at = n
+            if deep:
+                _, delta = native.decode_packet_delta(pkt)
+                if delta > 16:
+                    raise container.ContainerError(
+                        f"Corrupt packet data: bitstream overrun in "
+                        f"packet {n} (+{delta} bits past the framed "
+                        f"stream)")
+            total_raw += raw
+            n += 1
+        if total_raw != header.uncompressed_size:
+            raise container.ContainerError(
+                f"Incorrect file format: packets decode to {total_raw} "
+                f"bytes, header says {header.uncompressed_size}")
+    return {
+        "valid": True,
+        "packets": n,
+        "uncompressed_size": total_raw,
+        "compressed_size": size,
+        "deep": bool(deep),
+    }
