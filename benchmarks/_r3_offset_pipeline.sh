@@ -40,3 +40,12 @@ for i in 0 1; do
 done
 
 echo "=== pipeline done $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+# 5. Post-sweep refresh: headline bench + corpus table, so fresh on-chip
+# numbers exist even if nobody is watching when the tunnel returns.
+echo "--- post-sweep bench $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 1800 python bench.py >> "$LOG" 2>&1 || echo "bench failed" >> "$LOG"
+echo "--- post-sweep run.py $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 3600 python benchmarks/run.py --skip-e2e >> "$LOG" 2>&1 \
+  || echo "run.py failed" >> "$LOG"
+echo "=== pipeline + refresh done $(date -u +%H:%M:%S) ===" >> "$LOG"
