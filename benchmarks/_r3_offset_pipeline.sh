@@ -46,6 +46,6 @@ echo "=== pipeline done $(date -u +%H:%M:%S) ===" >> "$LOG"
 echo "--- post-sweep bench $(date -u +%H:%M:%S)" >> "$LOG"
 timeout 1800 python bench.py >> "$LOG" 2>&1 || echo "bench failed" >> "$LOG"
 echo "--- post-sweep run.py $(date -u +%H:%M:%S)" >> "$LOG"
-timeout 3600 python benchmarks/run.py --skip-e2e >> "$LOG" 2>&1 \
+timeout 3600 python benchmarks/run.py --skip-e2e --out results_post_probe.json >> "$LOG" 2>&1 \
   || echo "run.py failed" >> "$LOG"
 echo "=== pipeline + refresh done $(date -u +%H:%M:%S) ===" >> "$LOG"

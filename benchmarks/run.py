@@ -226,6 +226,10 @@ def main():
     ap.add_argument("--mib", type=int, default=64)
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--out", default="results.json",
+                    help="output file name (in benchmarks/); use a "
+                         "distinct name for partial runs so --skip-e2e "
+                         "cannot clobber the full table's e2e rows")
     args = ap.parse_args()
 
     rows = []
@@ -238,7 +242,7 @@ def main():
         rows.append(bench_file_level(args.mib, corpus="enwik-proxy"))
         print(f"done: {rows[-1]}", flush=True)
 
-    out = Path(__file__).with_name("results.json")
+    out = Path(__file__).with_name(args.out)
     out.write_text(json.dumps(rows, indent=2))
 
     print("\n| corpus | size | encode GB/s | decode GB/s | ratio | round-trip |")
