@@ -35,8 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="packets per super-batch (bounds memory)")
     p.add_argument("--threads", type=int, default=1,
                    help="host-codec worker threads (--host / fallback "
-                        "path; 0 = all cores).  Packets are independent, "
-                        "so any value yields an identical archive")
+                        "path, and v --deep; 0 = all cores).  Packets are "
+                        "independent, so any value yields an identical "
+                        "archive/verdict")
     p.add_argument("--multihost", action="store_true",
                    help="pod-slice mode: every process codes its file range "
                         "and splices at gathered offsets (shared filesystem)")
@@ -129,7 +130,8 @@ def main(argv=None) -> int:
 
         try:
             with SplitTimer() as t:
-                result = verify_archive(args.input, deep=args.deep)
+                result = verify_archive(args.input, deep=args.deep,
+                                        threads=args.threads)
         except (OSError, ValueError) as e:
             print(str(e), file=sys.stderr)
             return 1

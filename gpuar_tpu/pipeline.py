@@ -430,7 +430,8 @@ def generate_random_file(path: str | Path, size: int, seed: int | None = None) -
             remaining -= n
 
 
-def verify_archive(path: str | Path, deep: bool = False) -> dict:
+def verify_archive(path: str | Path, deep: bool = False,
+                   threads: int = 1) -> dict:
     """Integrity-check a ``.gip`` archive without writing any output
     (CLI verb ``v`` — an extension; the reference has no verify mode,
     only the manual md5 procedure in its README:24-29).
@@ -448,10 +449,29 @@ def verify_archive(path: str | Path, deep: bool = False) -> dict:
     well-framed packets that release-mode decode would silently turn
     into garbage, exactly like the reference's ``-D_DEBUG`` build.
 
+    ``threads`` fans the deep decodes out to a worker pool (0 = all
+    cores; packets are independent and the ctypes call releases the GIL,
+    mirroring HostCompressor --threads).  The structural walk and the
+    verdict are unaffected by the thread count.
+
     Returns a stats dict on success; raises ContainerError (or OSError)
     on the first violation.
     """
+    pool = None
+    if deep and threads != 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=threads or os.cpu_count())
+
+    def _deep_check(idx: int, pkt: bytes) -> None:
+        _, delta = native.decode_packet_delta(pkt)
+        if delta > 16:
+            raise container.ContainerError(
+                f"Corrupt packet data: bitstream overrun in "
+                f"packet {idx} (+{delta} bits past the framed stream)")
+
     size = os.path.getsize(path)
+    futures = []
     with open(path, "rb") as f:
         header = container.FileHeader.from_bytes(
             f.read(container.HEADER_LENGTH), actual_file_size=size)
@@ -474,18 +494,24 @@ def verify_archive(path: str | Path, deep: bool = False) -> dict:
             if raw < UNCOMPRESSED_PACKET_SIZE:
                 short_at = n
             if deep:
-                _, delta = native.decode_packet_delta(pkt)
-                if delta > 16:
-                    raise container.ContainerError(
-                        f"Corrupt packet data: bitstream overrun in "
-                        f"packet {n} (+{delta} bits past the framed "
-                        f"stream)")
+                if pool is None:
+                    _deep_check(n, pkt)
+                else:
+                    futures.append(pool.submit(_deep_check, n, pkt))
+                    if len(futures) >= 8192:  # bound held packets (~64 MiB)
+                        futures.pop(0).result()
             total_raw += raw
             n += 1
         if total_raw != header.uncompressed_size:
             raise container.ContainerError(
                 f"Incorrect file format: packets decode to {total_raw} "
                 f"bytes, header says {header.uncompressed_size}")
+    if pool is not None:
+        try:
+            for fut in futures:
+                fut.result()  # re-raise the first worker's ContainerError
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
     return {
         "valid": True,
         "packets": n,

@@ -127,3 +127,26 @@ def test_native_delta_clean_slack(rng):
         out, delta = native.decode_packet_delta(pkt)
         assert out == data
         assert delta <= 16, f"clean slack {delta} exceeds the allowance"
+
+
+def test_verify_deep_threaded_matches_serial(archive):
+    r1 = verify_archive(archive, deep=True, threads=1)
+    r3 = verify_archive(archive, deep=True, threads=3)
+    assert r1 == r3
+
+
+def test_verify_deep_threaded_catches_overrun(archive):
+    blob = bytearray(archive.read_bytes())
+    off = container.HEADER_LENGTH
+    total0, _ = container.packet_sizes(bytes(blob[off:off + 4]))
+    off1 = off + total0
+    total1, raw1 = container.packet_sizes(bytes(blob[off1:off1 + 4]))
+    cut = bytearray(blob[off1:off1 + 104])
+    cut[0], cut[1] = 104 & 0xFF, 104 >> 8
+    blob[off1:off1 + total1] = cut
+    hdr = container.FileHeader(
+        uncompressed_size=3 * P + 123, compressed_size=len(blob))
+    blob[:container.HEADER_LENGTH] = hdr.to_bytes()
+    archive.write_bytes(bytes(blob))
+    with pytest.raises(container.ContainerError, match="packet 1"):
+        verify_archive(archive, deep=True, threads=4)
