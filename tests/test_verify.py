@@ -150,3 +150,13 @@ def test_verify_deep_threaded_catches_overrun(archive):
     archive.write_bytes(bytes(blob))
     with pytest.raises(container.ContainerError, match="packet 1"):
         verify_archive(archive, deep=True, threads=4)
+
+
+def test_verify_reference_written_fixture():
+    """The verify verb must accept archives written by the COMPILED
+    reference coder: uninitialised reserved header bytes (0xCD garbage)
+    and u32 size fields (the from_bytes fallback path)."""
+    import pathlib
+    fix = pathlib.Path(__file__).parent / "fixtures" / "reference_written.gip"
+    r = verify_archive(fix, deep=True)
+    assert r["valid"] and r["packets"] >= 1
