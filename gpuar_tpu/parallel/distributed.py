@@ -185,18 +185,6 @@ def walk_packet_index_chunks(stream, compressed_body_size: int,
         yield np.asarray([offsets, raw_offsets], dtype=np.int64)
 
 
-def partition_packets(n_packets: int, n_hosts: int) -> list[tuple[int, int]]:
-    """Contiguous (first, last) packet spans per host, balanced."""
-    base, extra = divmod(n_packets, n_hosts)
-    spans = []
-    start = 0
-    for h in range(n_hosts):
-        count = base + (1 if h < extra else 0)
-        spans.append((start, start + count))
-        start += count
-    return spans
-
-
 # --------------------------------------------------------------------------
 # Collective metadata exchange
 # --------------------------------------------------------------------------
@@ -280,31 +268,6 @@ def _segment_stream(body, body_size: int, rank: int, world: int,
             got = _join_u32(np.asarray(multihost_utils.broadcast_one_to_all(
                 _split_u32(pad))))
             yield got[:, : k + 1]
-
-
-def _indexed_once(body, body_size: int, rank: int, world: int) -> np.ndarray:
-    """Packet index, walked by rank 0 and broadcast (a walk streams the
-    whole body, so other hosts should not repeat it)."""
-    if world == 1:
-        return walk_packet_index(body, body_size)
-    from jax.experimental import multihost_utils
-
-    if rank == 0:
-        index = walk_packet_index(body, body_size)
-        n = np.asarray([index.shape[1]], dtype=np.int32)
-    else:
-        index = None
-        n = np.zeros(1, dtype=np.int32)
-    n = int(multihost_utils.broadcast_one_to_all(n)[0])
-    if index is None:
-        index = np.zeros((2, n), dtype=np.int64)
-    # Offsets of multi-GiB archives exceed int32: cross as u32 halves
-    # (see _split_u32).
-    out = _join_u32(np.asarray(
-        multihost_utils.broadcast_one_to_all(_split_u32(index))))
-    if rank == 0 and not np.array_equal(out, index):
-        raise RuntimeError("packet-index broadcast round-trip mismatch")
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -447,10 +410,14 @@ class DistributedCompressor:
             body = _BodyView(fin, container.HEADER_LENGTH)
             body_size = header.compressed_size - container.HEADER_LENGTH
             chunkp = self.backend.super_batch_packets
-            # Rank-local progress against this host's expected share.
+            # Only rank 0 displays, and segment raw offsets are GLOBAL
+            # (from the walked index), so progress is reported globally:
+            # the raw end offset of the last segment this rank finished
+            # covers every earlier segment regardless of owner.  Owned
+            # shares are unequal under round-robin ownership, so a
+            # header/world denominator would over- or undershoot.
             local = CompressionInfo()
-            local.uncompressed_file_size = max(
-                header.uncompressed_size // world, 1)
+            local.uncompressed_file_size = header.uncompressed_size
 
             if rank == 0:
                 with io, open(dst, "wb") as f:
@@ -490,7 +457,7 @@ class DistributedCompressor:
                             # short non-final packets land right.
                             fout.seek(raw_lo)
                             fout.write(piece)
-                        local.processed_uncompressed_size += raw_hi - raw_lo
+                        local.processed_uncompressed_size = raw_hi
                         monitor.update(local)
                     pending = handle
                     seg_no += 1
@@ -503,6 +470,10 @@ class DistributedCompressor:
                     f"{header.uncompressed_size}"
                 )
         _barrier("raw-bodies-written")
+        # The final segments may be owned by other ranks; print the
+        # remaining deciles before the closing line.
+        local.processed_uncompressed_size = local.uncompressed_file_size
+        monitor.update(local)
         monitor.finish()
         info.processed_uncompressed_size = info.uncompressed_file_size
         info.process_time = process.total

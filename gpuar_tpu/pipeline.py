@@ -457,11 +457,15 @@ def verify_archive(path: str | Path, deep: bool = False,
     Returns a stats dict on success; raises ContainerError (or OSError)
     on the first violation.
     """
+    # Same thread-count semantics as HostCompressor: None or < 1 means
+    # all cores.
+    if threads is None or threads < 1:
+        threads = os.cpu_count() or 1
     pool = None
     if deep and threads != 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=threads or os.cpu_count())
+        pool = ThreadPoolExecutor(max_workers=threads)
 
     def _deep_check(idx: int, pkt: bytes) -> None:
         _, delta = native.decode_packet_delta(pkt)
@@ -472,45 +476,50 @@ def verify_archive(path: str | Path, deep: bool = False,
 
     size = os.path.getsize(path)
     futures = []
-    with open(path, "rb") as f:
-        header = container.FileHeader.from_bytes(
-            f.read(container.HEADER_LENGTH), actual_file_size=size)
-        if header.compressed_size != size:
-            raise container.ContainerError(
-                f"Incorrect file format: header compressed size "
-                f"{header.compressed_size} != actual file size {size}")
-        total_raw = 0
-        n = 0
-        short_at = None
-        for pkt in container.read_packets(f):
-            total, raw = container.packet_sizes(pkt[:4])
-            if raw == 0:
+    try:
+        with open(path, "rb") as f:
+            header = container.FileHeader.from_bytes(
+                f.read(container.HEADER_LENGTH), actual_file_size=size)
+            if header.compressed_size != size:
                 raise container.ContainerError(
-                    f"Incorrect file format: packet {n} has zero raw size")
-            if short_at is not None:
+                    f"Incorrect file format: header compressed size "
+                    f"{header.compressed_size} != actual file size {size}")
+            total_raw = 0
+            n = 0
+            short_at = None
+            for pkt in container.read_packets(f):
+                total, raw = container.packet_sizes(pkt[:4])
+                if raw == 0:
+                    raise container.ContainerError(
+                        f"Incorrect file format: packet {n} has zero "
+                        f"raw size")
+                if short_at is not None:
+                    raise container.ContainerError(
+                        f"Incorrect file format: short packet {short_at} "
+                        f"before the final packet")
+                if raw < UNCOMPRESSED_PACKET_SIZE:
+                    short_at = n
+                if deep:
+                    if pool is None:
+                        _deep_check(n, pkt)
+                    else:
+                        futures.append(pool.submit(_deep_check, n, pkt))
+                        if len(futures) >= 8192:  # bound held pkts ~64 MiB
+                            futures.pop(0).result()
+                total_raw += raw
+                n += 1
+            if total_raw != header.uncompressed_size:
                 raise container.ContainerError(
-                    f"Incorrect file format: short packet {short_at} "
-                    f"before the final packet")
-            if raw < UNCOMPRESSED_PACKET_SIZE:
-                short_at = n
-            if deep:
-                if pool is None:
-                    _deep_check(n, pkt)
-                else:
-                    futures.append(pool.submit(_deep_check, n, pkt))
-                    if len(futures) >= 8192:  # bound held packets (~64 MiB)
-                        futures.pop(0).result()
-            total_raw += raw
-            n += 1
-        if total_raw != header.uncompressed_size:
-            raise container.ContainerError(
-                f"Incorrect file format: packets decode to {total_raw} "
-                f"bytes, header says {header.uncompressed_size}")
-    if pool is not None:
-        try:
+                    f"Incorrect file format: packets decode to {total_raw} "
+                    f"bytes, header says {header.uncompressed_size}")
+        if pool is not None:
             for fut in futures:
                 fut.result()  # re-raise the first worker's ContainerError
-        finally:
+    finally:
+        # Shutdown on EVERY exit path: an error mid-walk must not leave
+        # thousands of queued packet decodes to drain at interpreter exit
+        # (or leak worker threads in library use).
+        if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
     return {
         "valid": True,

@@ -40,12 +40,6 @@ def test_exclusive_scan():
     assert dist.exclusive_scan(np.array([4])).tolist() == [0]
 
 
-def test_partition_packets():
-    spans = dist.partition_packets(10, 3)
-    assert spans == [(0, 4), (4, 7), (7, 10)]
-    assert dist.partition_packets(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
-
-
 def test_u32_halves_roundtrip_beyond_int32():
     # The collectives canonicalize int64 -> int32 (jax_enable_x64 is never
     # forced), so pod-scale sizes/offsets cross as u32 halves; the split
