@@ -91,13 +91,43 @@ def _probe_device(timeout_s: float = 180.0) -> None:
              "import jax; d = jax.devices(); print(d[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        print(f"bench: no accelerator after {timeout_s:.0f}s "
-              "(device tunnel down?) — aborting", file=sys.stderr)
+        _emit_unreachable(f"no accelerator after {timeout_s:.0f}s "
+                          "(device tunnel down?)")
         raise SystemExit(2)
     if r.returncode != 0:
         print("bench: jax backend init failed:\n" + r.stderr[-2000:],
               file=sys.stderr)
+        _emit_unreachable("jax backend init failed")
         raise SystemExit(2)
+
+
+def _emit_unreachable(reason: str) -> None:
+    """The accelerator is down at bench time: still print one honest JSON
+    line (value 0 = nothing measured NOW), pointing at the last committed
+    on-chip measurement so the record is interpretable."""
+    print(f"bench: {reason} — aborting", file=sys.stderr)
+    last = None
+    try:
+        import os
+        root = os.path.dirname(os.path.abspath(__file__))
+        p = os.path.join(root, "benchmarks", "results.json")
+        import time
+        last = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                             time.gmtime(os.path.getmtime(p)))
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "encode+decode device throughput (64MiB random, "
+                  "bit-exact round-trip verified)",
+        "value": 0.0,
+        "unit": "GB/s",
+        "vs_baseline": 0.0,
+        "detail": {
+            "error": f"accelerator unreachable at bench time: {reason}",
+            "last_committed_onchip_run": "benchmarks/results.json"
+            + (f" (generated {last})" if last else ""),
+        },
+    }))
 
 
 def main():
