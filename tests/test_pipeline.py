@@ -292,3 +292,20 @@ def test_threaded_host_codec_identical(tmp_path, rng):
     back = tmp_path / "back.bin"
     HostCompressor(threads=5, super_batch_packets=4).decompress(serial, back)
     assert back.read_bytes() == data
+
+
+def test_library_api_round_trip(tmp_path, rng):
+    """Top-level gpuar_tpu.compress/decompress/verify one-call API."""
+    import gpuar_tpu
+
+    src = tmp_path / "in.bin"
+    data = rng.integers(0, 256, 3 * P + 100, dtype=np.uint8).tobytes()
+    src.write_bytes(data)
+    arc = tmp_path / "a.gip"
+    back = tmp_path / "back.bin"
+    info = gpuar_tpu.compress(src, arc, host=True)
+    assert info.compressed_file_size == arc.stat().st_size
+    report = gpuar_tpu.verify(arc, deep=True, threads=2)
+    assert report["valid"] and report["packets"] == 4
+    gpuar_tpu.decompress(arc, back, host=True)
+    assert back.read_bytes() == data
