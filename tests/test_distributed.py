@@ -193,3 +193,29 @@ def test_distributed_multi_batch_decompress(tmp_path, rng):
     back = tmp_path / "back.bin"
     d.decompress(gip, back)
     assert back.read_bytes() == data
+
+
+def test_distributed_decompress_progress_deciles(tmp_path, rng):
+    """Progress is reported against GLOBAL raw offsets: every decile
+    prints exactly once and ends at 100% + the closing line (the old
+    header//world denominator over/undershot under round-robin segment
+    ownership)."""
+    import io as _io
+
+    from gpuar_tpu.utils.stats import ProgressMonitor
+
+    data = rng.integers(0, 256, 7 * P + 11, np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    d = dist.DistributedCompressor(
+        backend=HostCompressor(super_batch_packets=2))
+    gip = tmp_path / "c.gip"
+    d.compress(src, gip)
+
+    out = _io.StringIO()
+    back = tmp_path / "back.bin"
+    d.decompress(gip, back, monitor=ProgressMonitor(stream=out))
+    assert back.read_bytes() == data
+    text = out.getvalue()
+    assert text == ("".join(f"{k}%.." for k in range(0, 101, 10))
+                    + "Closing file..\n")
