@@ -22,9 +22,18 @@ def _pick_backend(host: bool, threads: int, debug: bool = False):
         try:
             from gpuar_tpu.parallel.runner import TPUCompressor
             return TPUCompressor(debug=debug)
-        except Exception:
+        except Exception as e:
             if debug:
                 raise
+            # A library caller must not silently get ~45 MB/s host coding
+            # when they asked for the accelerator; mirror the CLI's
+            # "Attention: accelerator unavailable" notice (cli.py) as a
+            # warning carrying the init error.
+            import warnings
+            warnings.warn(
+                f"accelerator unavailable ({e!r}); falling back to the "
+                "host codec — pass host=True to silence this",
+                RuntimeWarning, stacklevel=3)
     from gpuar_tpu.pipeline import HostCompressor
     return HostCompressor(threads=threads)
 

@@ -1,5 +1,6 @@
 """Streaming pipeline behaviour: multi-super-batch files, CLI error paths."""
 
+import os
 import subprocess
 import sys
 
@@ -31,9 +32,18 @@ def test_multi_super_batch_streaming(tmp_path, rng):
 
 
 def _cli(args, cwd):
+    # Run the CLI subprocess on the CPU backend with the axon TPU plugin
+    # unregistered (it registers whenever PALLAS_AXON_POOL_IPS is set, and
+    # with the device tunnel down its backend init retries in an unbounded
+    # sleep loop — one CLI test then takes 25 minutes).  Everything under
+    # test here (flag parsing, container errors, host fallback) is
+    # backend-independent; CPU gives bounded, tunnel-independent runs.
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "gpuar_tpu.cli", *args],
-        capture_output=True, text=True, cwd=cwd,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=600,
     )
 
 
@@ -309,3 +319,31 @@ def test_library_api_round_trip(tmp_path, rng):
     assert report["valid"] and report["packets"] == 4
     gpuar_tpu.decompress(arc, back, host=True)
     assert back.read_bytes() == data
+
+
+def test_library_host_fallback_warns(monkeypatch):
+    """When the accelerator path fails to initialize, the library API must
+    not silently hand back 45 MB/s host coding: _pick_backend emits a
+    RuntimeWarning carrying the init error (the CLI analog prints
+    'Attention: accelerator unavailable', cli.py)."""
+    import warnings
+
+    import gpuar_tpu
+
+    def boom(*a, **k):
+        raise RuntimeError("no chip today")
+
+    import gpuar_tpu.parallel.runner as runner
+    monkeypatch.setattr(runner, "TPUCompressor", boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        backend = gpuar_tpu._pick_backend(host=False, threads=1)
+    assert type(backend).__name__ == "HostCompressor"
+    msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+    assert any("accelerator unavailable" in m and "no chip today" in m
+               for m in msgs), msgs
+
+    # debug=True must keep raising (no silent downgrade of --debug
+    # semantics), not warn.
+    with pytest.raises(RuntimeError, match="no chip today"):
+        gpuar_tpu._pick_backend(host=False, threads=1, debug=True)
