@@ -93,6 +93,16 @@ done
 track "STACK_SCALAR sweep" 300
 commit_files "Probes: STACK_SCALAR on-chip sweep log" "$TRACKED"
 
+# --- 5b. Round-4 grid: XDIV (cross-stream paired div) x OFFSET_STATE
+#         x streams/tile, unroll re-sweep (VERDICT r3 next #2). ---
+for i in 0 1 2 3 4 5 6 7; do
+    say "--- r4 --only $i"
+    timeout 2400 python benchmarks/probe_decode_r3.py \
+        --r4 --only "$i" --skip-floor --reps 5 >> "$LOG" 2>&1
+done
+track "r4 XDIV/OFFSET grid" 400
+commit_files "Probes: round-4 XDIV/OFFSET/streams grid sweep log" "$TRACKED"
+
 # --- 6. Proxy-corpus A/B of OFFSET_STATE on the speculative hull path. ---
 for i in 0 1; do
     say "--- proxy offset --only $i"

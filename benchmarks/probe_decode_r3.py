@@ -112,6 +112,10 @@ def main():
                     help="OFFSET_STATE sweep: (lower, R, D) coder state "
                          "vs the (lower, upper, code) baseline, decode "
                          "then encode")
+    ap.add_argument("--r4", action="store_true",
+                    help="round-4 grid: XDIV (cross-stream paired div) "
+                         "x OFFSET_STATE x streams/tile, plus an unroll "
+                         "re-sweep under OFFSET_STATE")
     args = ap.parse_args()
     D = pallas_decode
 
@@ -123,7 +127,7 @@ def main():
                  PAIR14=D.PAIR14, UNROLL_WORDS=D.UNROLL_WORDS,
                  PAIRED_DIV=D.PAIRED_DIV, FREE_RUN=D.FREE_RUN,
                  STACK_SCALAR=D.STACK_SCALAR,
-                 OFFSET_STATE=D.OFFSET_STATE)
+                 OFFSET_STATE=D.OFFSET_STATE, XDIV=D.XDIV)
     try:
         # --- the floor: table passes only, full-range, no speculation ---
         if not args.skip_floor:
@@ -170,6 +174,36 @@ def main():
             finally:
                 E.ABLATE_SCALAR = False
             time_enc("ENCODE real")
+            return
+
+        if args.r4:
+            # --- round-4 grid (VERDICT r3 next #2): cross-stream paired
+            # div, streams/tile re-sweep under the shorter OFFSET chain,
+            # unroll re-sweep (always re-sweep unroll after chain edits).
+            D.PAIRED_DIV, D.FREE_RUN = True, True
+            configs = (
+                # (xdiv, offset, streams, tile, unroll)
+                (False, False, 2, 1024, 2),   # 0: r3 adopted re-anchor
+                (True,  False, 2, 1024, 2),   # 1: XDIV alone
+                (True,  True,  2, 1024, 2),   # 2: XDIV + OFFSET
+                (True,  True,  3, 1536, 2),   # 3: XDIV + OFFSET, 3 chains
+                (False, True,  2, 1024, 4),   # 4: unroll=4 under OFFSET
+                (True,  True,  2, 1024, 4),   # 5: XDIV+OFFSET unroll=4
+                (False, True,  4, 2048, 2),   # 6: 4 chains @ w=512
+                (True,  True,  4, 2048, 2),   # 7: XDIV, 4 chains @ w=512
+            )
+            sel = range(len(configs)) if args.only is None else [args.only]
+            for i, (xd, off, streams, tile, unroll) in enumerate(configs):
+                if i not in sel:
+                    continue
+                D.XDIV = xd
+                D.OFFSET_STATE = off
+                D.STREAMS = streams
+                D.UNROLL_WORDS = unroll
+                run(f"r4[{i}] {'XDIV ' if xd else ''}"
+                    f"{'OFFSET ' if off else ''}streams={streams} "
+                    f"tile={tile} unroll={unroll}",
+                    packets, sizes, data, tile=tile, reps=args.reps)
             return
 
         if args.offset:

@@ -101,6 +101,15 @@ OFFSET_STATE = False  # carry (lower, R = span, D = code - lower) instead
                     # cursor is row 3).  Search/update and speculation are
                     # untouched.  Measured on-chip before adoption
                     # (benchmarks/probe_decode_r3.py --offset).
+XDIV = False        # cross-stream PAIRED_DIV: concatenate ALL streams'
+                    # (low*span, high*span) rows into one [2*STREAMS, w]
+                    # exact-div per symbol position instead of one [2, w]
+                    # div per stream — the div section's issue count drops
+                    # by another factor of STREAMS at unchanged depth,
+                    # without coupling the rest of the scalar chains the
+                    # way STACK_SCALAR does.  Requires PAIRED_DIV.
+                    # Measured on-chip before adoption
+                    # (benchmarks/probe_decode_r3.py --r4).
 STACK_SCALAR = False  # merge the STREAMS scalar chains into full-width
                     # [1, tile] ops: the streams' renorm/div sequences are
                     # op-for-op identical, so stacking them column-wise
@@ -524,8 +533,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         return (active, cum, cum_s, span, unscaled, low, high, sym,
                 c128, miss)
 
-    def scalar_step(si, t, part, carry):
-        """Renormalisation / bit-window half of a symbol step."""
+    def scalar_step(si, t, part, carry, q_pre=None):
+        """Renormalisation / bit-window half of a symbol step.
+
+        q_pre: precomputed [2, w] quotients (XDIV — the div was issued
+        cross-stream as one [2*STREAMS, w] op in step())."""
         lower, upper, code, bitpos, w0, w1, flag, _, _, wacc = carry
         (active, cum, cum_s, span, unscaled, low, high, sym,
          c128, miss) = part
@@ -539,11 +551,16 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             return (lower, upper, code, bitpos, w0, w1, flag, c128,
                     miss, wacc)
 
-        if PAIRED_DIV:
+        if q_pre is not None or PAIRED_DIV:
             # One [2, w] div covers both bounds: same chain depth, half
-            # the issue count for the div section.
-            num = jnp.concatenate([low * span, high * span], axis=0)
-            q = _exact_div(num, cum_s)
+            # the issue count for the div section.  Under XDIV the div
+            # already happened cross-stream; q_pre carries this stream's
+            # two rows.
+            if q_pre is not None:
+                q = q_pre
+            else:
+                num = jnp.concatenate([low * span, high * span], axis=0)
+                q = _exact_div(num, cum_s)
             lo2 = (lower + q[0:1, :]) & U16
             if OFFSET_STATE:
                 r2 = q[1:2, :] - q[0:1, :]
@@ -658,7 +675,29 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             # otherwise each stream's full step in turn).
             for j in range(4):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
-                if PHASE_SPLIT:
+                if XDIV and streams > 1 and not ABLATE_SCALAR:
+                    # Cross-stream paired div: all table searches, then
+                    # ONE [2*S, w] exact-div for every stream's bounds,
+                    # then the per-stream scalar chains with their
+                    # quotient rows pre-supplied.
+                    parts = [search_step(s, sizes_s[s], t, carries[s],
+                                         mode, pends[s], fuse_k)
+                             for s in range(streams)]
+                    nums, dens = [], []
+                    for s in range(streams):
+                        (_, _, cum_s, span, _, low, high,
+                         _, _, _) = parts[s]
+                        nums.append(jnp.concatenate(
+                            [low * span, high * span], axis=0))
+                        dens.append(jnp.broadcast_to(
+                            cum_s, nums[-1].shape))
+                    q_all = _exact_div(jnp.concatenate(nums, axis=0),
+                                       jnp.concatenate(dens, axis=0))
+                    for s in range(streams):
+                        carries[s] = scalar_step(
+                            s, t, parts[s], carries[s],
+                            q_pre=q_all[2 * s: 2 * s + 2, :])
+                elif PHASE_SPLIT:
                     parts = [search_step(s, sizes_s[s], t, carries[s],
                                          mode, pends[s], fuse_k)
                              for s in range(streams)]

@@ -24,6 +24,8 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
     ["--offset", "--only", "2", "--skip-floor", "--reps", "1"],
     ["--stack", "--only", "5", "--skip-floor", "--reps", "1"],
     ["--encode-floor", "--skip-floor", "--reps", "1"],
+    ["--r4", "--skip-floor", "--reps", "1"],
+    ["--r4", "--only", "7", "--skip-floor", "--reps", "1"],
 ])
 def test_probe_sweep_paths_execute(argv, monkeypatch):
     sys.path.insert(0, str(_REPO_ROOT))
@@ -55,8 +57,9 @@ def test_probe_sweep_paths_execute(argv, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["probe_decode_r3.py"] + argv)
 
     D, E = pr.pallas_decode, pr.pallas_encode
-    before = (D.OFFSET_STATE, D.STACK_SCALAR, E.OFFSET_STATE,
-              E.ABLATE_SCALAR)
+    before = (D.OFFSET_STATE, D.STACK_SCALAR, D.XDIV, D.STREAMS,
+              D.UNROLL_WORDS, E.OFFSET_STATE, E.ABLATE_SCALAR)
     pr.main()
-    assert (D.OFFSET_STATE, D.STACK_SCALAR, E.OFFSET_STATE,
+    assert (D.OFFSET_STATE, D.STACK_SCALAR, D.XDIV, D.STREAMS,
+            D.UNROLL_WORDS, E.OFFSET_STATE,
             E.ABLATE_SCALAR) == before, "sweep leaked knob state"

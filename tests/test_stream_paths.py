@@ -87,3 +87,47 @@ def test_three_stream_interpret_roundtrip(rng):
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"lane {i} (size {sizes[i]})"
+
+
+@pytest.mark.parametrize("streams,offset", [(2, False), (2, True),
+                                            (3, False)])
+def test_xdiv_interpret_roundtrip(rng, streams, offset):
+    """XDIV (cross-stream paired div: one [2*S, w] exact-div per symbol
+    position) must be bit-identical to the per-stream PAIRED_DIV path —
+    the quotients are the same values, only the issue grouping changes.
+    Swept with OFFSET_STATE since the two knobs share the q rows."""
+    P = 256
+    n = 128 * streams
+    data = np.zeros((n, P), np.uint8)
+    third = n // 3
+    data[:third] = rng.integers(0, 256, (third, P), np.uint8)
+    data[third:2 * third] = rng.integers(32, 127, (third, P), np.uint8)
+    data[2 * third:n - 6] = rng.integers(0, 4, (n - 6 - 2 * third, P),
+                                         np.uint8)
+    sizes = np.full(n, P, np.int32)
+    sizes[n - 6:] = [0, 1, 7, 100, 255, 256]
+    for i in range(n - 6, n):
+        data[i, sizes[i]:] = 0
+
+    enc = [native.encode_packet(data[i, : sizes[i]].tobytes())
+           for i in range(n)]
+    _, out_words = out_geometry(P)
+    pk = np.zeros((n, out_words * 4), np.uint8)
+    for i, e in enumerate(enc):
+        pk[i, : len(e)] = np.frombuffer(e, np.uint8)
+
+    saved = (pallas_decode.INTERPRET_STREAMS, pallas_decode.STREAMS,
+             pallas_decode.XDIV, pallas_decode.OFFSET_STATE)
+    pallas_decode.INTERPRET_STREAMS = True
+    pallas_decode.STREAMS = streams
+    pallas_decode.XDIV = True
+    pallas_decode.OFFSET_STATE = offset
+    try:
+        out = pallas_decode.decode_batch_pallas(
+            pk, sizes, tile=128 * streams, packet_size=P, interpret=True)
+    finally:
+        (pallas_decode.INTERPRET_STREAMS, pallas_decode.STREAMS,
+         pallas_decode.XDIV, pallas_decode.OFFSET_STATE) = saved
+    for i in range(n):
+        assert out[i, : sizes[i]].tobytes() == \
+            data[i, : sizes[i]].tobytes(), f"lane {i} (size {sizes[i]})"
