@@ -103,6 +103,16 @@ done
 track "r4 XDIV/OFFSET grid" 400
 commit_files "Probes: round-4 XDIV/OFFSET/streams grid sweep log" "$TRACKED"
 
+# --- 5c. Encode residual sweep: dump cadence under PAIRED_DIV,
+#         OFFSET_STATE x unroll (VERDICT r3 next #8). ---
+for i in 0 1 2 3 4 5 6; do
+    say "--- enc-r4 --only $i"
+    timeout 2400 python benchmarks/probe_decode_r3.py \
+        --enc-r4 --only "$i" --skip-floor --reps 5 >> "$LOG" 2>&1
+done
+track "enc-r4 dump/offset/unroll sweep" 250
+commit_files "Probes: encode residual sweep log" "$TRACKED"
+
 # --- 6. Proxy-corpus A/B of OFFSET_STATE on the speculative hull path. ---
 for i in 0 1; do
     say "--- proxy offset --only $i"

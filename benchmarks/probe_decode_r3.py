@@ -116,6 +116,10 @@ def main():
                     help="round-4 grid: XDIV (cross-stream paired div) "
                          "x OFFSET_STATE x streams/tile, plus an unroll "
                          "re-sweep under OFFSET_STATE")
+    ap.add_argument("--enc-r4", action="store_true",
+                    help="encode residual sweep (VERDICT r3 next #8): "
+                         "dump cadence re-sweep under PAIRED_DIV, "
+                         "OFFSET_STATE x unroll")
     args = ap.parse_args()
     D = pallas_decode
 
@@ -174,6 +178,63 @@ def main():
             finally:
                 E.ABLATE_SCALAR = False
             time_enc("ENCODE real")
+            return
+
+        if args.enc_r4:
+            # --- encode residual: dump cadence under PAIRED_DIV,
+            # OFFSET_STATE, unroll (bitstreams unchanged by all knobs:
+            # checked against the frozen default-knob packets). ---
+            E = pallas_encode
+            og, _ = E.out_geometry(data.shape[1])
+            wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
+            sz = jnp.asarray(sizes.reshape(1, -1))
+            esaved = (E.DUMP_WORDS, E.UNROLL_WORDS, E.OFFSET_STATE)
+
+            def time_enc(tag):
+                E._encode_call.clear_cache()
+                out = E._encode_call(wd, sz, tile=1024,
+                                     packet_size=data.shape[1],
+                                     out_groups=og)
+                np.asarray(out[1][0:1, 0:1])
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    out = E._encode_call(wd, sz, tile=1024,
+                                         packet_size=data.shape[1],
+                                         out_groups=og)
+                    np.asarray(out[1][0:1, 0:1])
+                    ts.append(time.time() - t0)
+                got = np.ascontiguousarray(np.asarray(out[0])).view(np.uint8)
+                assert np.array_equal(got, packets), "bitstream diff"
+                print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s",
+                      flush=True)
+
+            configs = (
+                # (offset, dump_words, unroll)
+                (False, 2, 4),   # 0: adopted baseline re-anchor
+                (False, 1, 4),   # 1: dump every word
+                (False, 4, 4),   # 2: dump every 4 words
+                (True,  2, 4),   # 3: OFFSET_STATE
+                (True,  1, 4),   # 4: OFFSET + dump=1
+                (False, 2, 8),   # 5: unroll=8 re-check
+                (True,  2, 8),   # 6: OFFSET + unroll=8
+            )
+            sel = range(len(configs)) if args.only is None else [args.only]
+            try:
+                for i, (off, dump, unroll) in enumerate(configs):
+                    if i not in sel:
+                        continue
+                    E.OFFSET_STATE = off
+                    E.DUMP_WORDS = dump
+                    E.UNROLL_WORDS = unroll
+                    try:
+                        time_enc(f"enc-r4[{i}] {'OFFSET ' if off else ''}"
+                                 f"dump={dump} unroll={unroll}")
+                    except Exception as e:
+                        print(f"enc-r4[{i}]: FAIL {type(e).__name__}: {e}",
+                              flush=True)
+            finally:
+                (E.DUMP_WORDS, E.UNROLL_WORDS, E.OFFSET_STATE) = esaved
             return
 
         if args.r4:

@@ -26,6 +26,8 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
     ["--encode-floor", "--skip-floor", "--reps", "1"],
     ["--r4", "--skip-floor", "--reps", "1"],
     ["--r4", "--only", "7", "--skip-floor", "--reps", "1"],
+    ["--enc-r4", "--skip-floor", "--reps", "1"],
+    ["--enc-r4", "--only", "6", "--skip-floor", "--reps", "1"],
 ])
 def test_probe_sweep_paths_execute(argv, monkeypatch):
     sys.path.insert(0, str(_REPO_ROOT))
@@ -58,8 +60,10 @@ def test_probe_sweep_paths_execute(argv, monkeypatch):
 
     D, E = pr.pallas_decode, pr.pallas_encode
     before = (D.OFFSET_STATE, D.STACK_SCALAR, D.XDIV, D.STREAMS,
-              D.UNROLL_WORDS, E.OFFSET_STATE, E.ABLATE_SCALAR)
+              D.UNROLL_WORDS, E.OFFSET_STATE, E.ABLATE_SCALAR,
+              E.DUMP_WORDS, E.UNROLL_WORDS)
     pr.main()
     assert (D.OFFSET_STATE, D.STACK_SCALAR, D.XDIV, D.STREAMS,
-            D.UNROLL_WORDS, E.OFFSET_STATE,
-            E.ABLATE_SCALAR) == before, "sweep leaked knob state"
+            D.UNROLL_WORDS, E.OFFSET_STATE, E.ABLATE_SCALAR,
+            E.DUMP_WORDS, E.UNROLL_WORDS) == before, \
+        "sweep leaked knob state"
