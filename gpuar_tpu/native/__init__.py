@@ -185,9 +185,10 @@ def decode_stream(body: np.ndarray | bytes, out_cap: int) -> bytes:
 
 
 def splice_at(blob: np.ndarray, offsets: np.ndarray,
-              lengths: np.ndarray) -> bytes:
+              lengths: np.ndarray) -> np.ndarray:
     """Concatenate blob[offsets[i] : offsets[i]+lengths[i]] — strips the
-    inter-packet alignment padding of a device-compacted result blob."""
+    inter-packet alignment padding of a device-compacted result blob.
+    Returns a uint8 array (see splice: avoids a whole-body copy)."""
     lib = load()
     blob = np.ascontiguousarray(blob, dtype=np.uint8).reshape(-1)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
@@ -199,7 +200,7 @@ def splice_at(blob: np.ndarray, offsets: np.ndarray,
         _i32p(lengths), lengths.shape[0], _u8p(out), out.size)
     if w < 0:
         raise ValueError("splice_at: offset/length out of range")
-    return out[:w].tobytes()
+    return out[:w]
 
 
 def expand_at(body: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
@@ -220,9 +221,11 @@ def expand_at(body: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
     return blob
 
 
-def splice(rows: np.ndarray, lengths: np.ndarray) -> bytes:
+def splice(rows: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate rows[i, :lengths[i]] — a native memcpy loop (numpy's
-    small-array concatenate costs ~0.5 s per 8192-row batch)."""
+    small-array concatenate costs ~0.5 s per 8192-row batch).  Returns a
+    uint8 array (buffer-protocol writable to files without the extra
+    whole-body .tobytes() copy a bytes return would cost per batch)."""
     lib = load()
     rows = np.ascontiguousarray(rows, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
@@ -233,4 +236,4 @@ def splice(rows: np.ndarray, lengths: np.ndarray) -> bytes:
                       rows.shape[0], _u8p(out), out.size)
     if w < 0:
         raise ValueError("splice: length exceeds row stride")
-    return out[:w].tobytes()
+    return out[:w]
