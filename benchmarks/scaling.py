@@ -60,9 +60,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _WORKER = textwrap.dedent("""
     import json, os, sys, time
-    rank, world, port, tmp, repo, backend, chip_gbps, time_scale = (
+    (rank, world, port, tmp, repo, backend, chip_gbps, time_scale,
+     mode, sleep_sbp) = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
-        sys.argv[5], sys.argv[6], float(sys.argv[7]), float(sys.argv[8]))
+        sys.argv[5], sys.argv[6], float(sys.argv[7]), float(sys.argv[8]),
+        sys.argv[9], int(sys.argv[10]))
     if backend in ("host", "sleep"):
         os.environ["JAX_PLATFORMS"] = "cpu"
         # With the axon plugin registered and the device tunnel down,
@@ -80,7 +82,8 @@ _WORKER = textwrap.dedent("""
         be = HostCompressor()
     elif backend == "sleep":
         from benchmarks.sleep_backend import SleepCompressor
-        be = SleepCompressor(gbps=chip_gbps, time_scale=time_scale)
+        be = SleepCompressor(gbps=chip_gbps, time_scale=time_scale,
+                             super_batch_packets=sleep_sbp)
     else:
         from gpuar_tpu.parallel.runner import TPUCompressor
         be = TPUCompressor()
@@ -92,12 +95,22 @@ _WORKER = textwrap.dedent("""
     # runtime, and on a 1-core box N ranks compiling simultaneously would
     # masquerade as coordination cost.
     d.compress(f"{tmp}/warm.bin", f"{tmp}/warm.gip")
+    if mode == "d":
+        # Decompress weak scaling: build the archive (untimed, all ranks
+        # cooperate), warm the decompress path — it has its own
+        # collectives (the segmented packet-index walk broadcasts one
+        # super-batch segment at a time) — then time d.decompress.
+        d.compress(f"{tmp}/in.bin", f"{tmp}/arch.gip")
+        d.decompress(f"{tmp}/warm.gip", f"{tmp}/warmback.bin")
 
     multihost_utils.sync_global_devices("scaling-start")
     import resource
     t0 = time.perf_counter()
     c0 = resource.getrusage(resource.RUSAGE_SELF)
-    info = d.compress(f"{tmp}/in.bin", f"{tmp}/out.gip")
+    if mode == "d":
+        info = d.decompress(f"{tmp}/arch.gip", f"{tmp}/back.bin")
+    else:
+        info = d.compress(f"{tmp}/in.bin", f"{tmp}/out.gip")
     wall = time.perf_counter() - t0
     c1 = resource.getrusage(resource.RUSAGE_SELF)
     cpu = (c1.ru_utime - c0.ru_utime) + (c1.ru_stime - c0.ru_stime)
@@ -117,7 +130,8 @@ def _free_port() -> int:
 
 def run_world(world: int, per_host_bytes: int, backend: str,
               chip_gbps: float = 1.0, tmpdir: str | None = None,
-              time_scale: float = 1.0) -> dict:
+              time_scale: float = 1.0, mode: str = "c",
+              sleep_sbp: int = 8192) -> dict:
     import numpy as np
 
     with tempfile.TemporaryDirectory(dir=tmpdir) as tmp:
@@ -144,7 +158,8 @@ def run_world(world: int, per_host_bytes: int, backend: str,
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, str(r), str(world), port, tmp,
-                 repo, backend, str(chip_gbps), str(time_scale)],
+                 repo, backend, str(chip_gbps), str(time_scale), mode,
+                 str(sleep_sbp)],
                 env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT, text=True)
             for r in range(world)
@@ -189,6 +204,11 @@ def main():
                     help="working dir for corpus+archive (use /dev/shm so "
                          "a 1-core box's disk bandwidth doesn't masquerade "
                          "as coordination cost in the control)")
+    ap.add_argument("--mode", choices=["c", "d"], default="c",
+                    help="'c' = compress weak scaling (default); 'd' = "
+                         "decompress — exercises the segmented "
+                         "packet-index walk's per-segment broadcasts, "
+                         "the decode side's extra coordination")
     ap.add_argument("--emulate-gib", type=float, default=None,
                     help="sleep-control only: emulate this many GiB of "
                          "per-host device payload while moving the real "
@@ -199,6 +219,14 @@ def main():
                          "on this 1-core box, so a small real body keeps "
                          "its CPU out of the coordination measurement.  "
                          "Recorded in the JSON as emulated_gib_per_host.")
+    ap.add_argument("--segments-per-host", type=int, default=16,
+                    help="sleep-control geometry fidelity: size the "
+                         "control's super-batch so each host's real body "
+                         "spans this many decode segments — matching the "
+                         "emulated deployment's per-host segment count "
+                         "(1 GiB/host at the production 64 MiB segment = "
+                         "16), so the per-segment index-walk broadcasts "
+                         "are exercised at the real cadence")
     ap.add_argument("--reps", type=int, default=1,
                     help="repeat each world size, keep the min-wall rep "
                          "(the 1-core box sees ±4x pollution from any "
@@ -210,6 +238,10 @@ def main():
     worlds = [int(w) for w in args.worlds.split(",")]
     shared = os.cpu_count() is not None and os.cpu_count() < max(worlds)
     t_chip = per_host / (args.chip_gbps * 1e9)
+    sleep_sbp = 8192
+    if args.backend == "sleep":
+        from gpuar_tpu.config import UNCOMPRESSED_PACKET_SIZE as _P
+        sleep_sbp = max(per_host // max(args.segments_per_host, 1) // _P, 1)
     time_scale = 1.0
     if args.emulate_gib is not None:
         if args.backend != "sleep":
@@ -221,7 +253,8 @@ def main():
     for w in worlds:
         reps = [run_world(w, per_host, args.backend,
                           chip_gbps=args.chip_gbps, tmpdir=args.tmpdir,
-                          time_scale=time_scale)
+                          time_scale=time_scale, mode=args.mode,
+                          sleep_sbp=sleep_sbp)
                 for _ in range(max(args.reps, 1))]
         r = min(reps, key=lambda x: x["wall"])
         rows.append(r)
@@ -240,6 +273,7 @@ def main():
     t_chip_1g = (1 << 30) / (args.chip_gbps * 1e9)
     out = {
         "metric": "weak scaling (fixed per-host work)",
+        "mode": args.mode,
         "backend": args.backend,
         "per_host_bytes": per_host,
         "emulated_gib_per_host": args.emulate_gib,

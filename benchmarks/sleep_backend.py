@@ -50,10 +50,18 @@ class SleepCompressor(Compressor):
         # a small real body keeps the 1-core box's byte-movement CPU from
         # masquerading as coordination cost.
         self.time_scale = float(time_scale)
+        # A real device serializes submitted batches: submit-ahead hides
+        # HOST time behind device compute, it does not double device
+        # throughput.  Deadlines therefore chain off a device-busy cursor
+        # (two in-flight batches sleeping concurrently would emulate a 2x
+        # faster device and inflate whichever world size pipelines deeper).
+        self._busy_until = 0.0
 
     def _deadline(self, nbytes: int) -> float:
-        return time.perf_counter() + (
+        start = max(time.perf_counter(), self._busy_until)
+        self._busy_until = start + (
             nbytes * self.time_scale / (self.gbps * 1e9))
+        return self._busy_until
 
     # --- encode -------------------------------------------------------------
     def encode_submit(self, raw: np.ndarray):

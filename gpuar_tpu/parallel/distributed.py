@@ -30,6 +30,7 @@ the local pipeline exactly.
 
 from __future__ import annotations
 
+import itertools
 import os
 from pathlib import Path
 
@@ -236,38 +237,106 @@ def _barrier(name: str) -> None:
 
 
 def _segment_stream(body, body_size: int, rank: int, world: int,
-                    chunk_packets: int):
+                    chunk_packets: int, group_max: int | None = None):
     """Yield packet-index segments ([2, k+1] ABSOLUTE offsets) on every
-    rank: rank 0 walks the body incrementally and broadcasts each segment
+    rank: rank 0 walks the body incrementally and broadcasts the index
     as it is found, so no host reads the whole archive before parallel
     decode starts (time-to-first-decoded-byte is archive-size
-    independent).  World 1 degrades to the plain incremental walk."""
+    independent).  World 1 degrades to the plain incremental walk.
+
+    Broadcasts are GROUPED geometrically (1, 2, 4, ... up to group_max
+    segments per collective): a Gloo broadcast costs ~10 ms x world of
+    pure latency, serial within the stream, so per-segment collectives
+    rate-limit decode once world x segment count grows (measured: world 8
+    on the sleep control went 5.5 s wall vs ~1.0 s of device time with
+    one collective per segment).  The first broadcast still carries a
+    single segment, keeping time-to-first-decoded-byte one segment; the
+    total packet count K rides in the pad's last column (K == 0
+    terminates) and receivers re-slice the combined index into
+    chunk_packets-sized segments locally (exact because every walked
+    segment except the final one is full)."""
     if world == 1:
         yield from walk_packet_index_chunks(body, body_size, chunk_packets)
         return
     from jax.experimental import multihost_utils
 
-    pad = np.zeros((2, chunk_packets + 1), np.int64)
+    if group_max is None:
+        group_max = max(8, 2 * world)
+    pad = np.zeros((2, group_max * chunk_packets + 2), np.int64)
     if rank == 0:
         walker = walk_packet_index_chunks(body, body_size, chunk_packets)
+        group_size = 1
         while True:
-            seg = next(walker, None)
-            k = 0 if seg is None else seg.shape[1] - 1
-            multihost_utils.broadcast_one_to_all(np.asarray([k], np.int32))
-            if k == 0:
-                return
-            pad[:, : k + 1] = seg
+            group = list(itertools.islice(walker, group_size))
+            total = sum(s.shape[1] - 1 for s in group)
+            pad[0, -1] = total
+            pos = 0
+            for s in group:
+                # Adjacent segments share their join column (identical
+                # values), so overlapping writes splice exactly.
+                pad[:, pos: pos + s.shape[1]] = s
+                pos += s.shape[1] - 1
             multihost_utils.broadcast_one_to_all(_split_u32(pad))
-            yield seg
+            if total == 0:
+                return
+            yield from group
+            group_size = min(group_size * 2, group_max)
     else:
         while True:
-            k = int(multihost_utils.broadcast_one_to_all(
-                np.zeros(1, np.int32))[0])
-            if k == 0:
-                return
             got = _join_u32(np.asarray(multihost_utils.broadcast_one_to_all(
                 _split_u32(pad))))
-            yield got[:, : k + 1]
+            total = int(got[0, -1])
+            if total == 0:
+                return
+            for lo in range(0, total, chunk_packets):
+                hi = min(lo + chunk_packets, total)
+                yield got[:, lo: hi + 1]
+
+
+class _IterPrefetcher:
+    """Drain an iterator on a daemon thread into a bounded queue.
+
+    Used to pull the segment-index stream (and its per-segment broadcast
+    collectives) OFF the decode critical path: the thread runs the walk
+    and the collectives ahead of the main loop, so by the time a rank
+    needs segment N+1 its index is already local.  Collective ordering
+    stays valid: each rank issues the stream's collectives from exactly
+    one thread, in stream order, and the main loop drains the stream to
+    exhaustion (thread done, all collectives issued) before the final
+    barrier.  Iterator errors re-raise on the consumer side."""
+
+    _DONE = object()
+
+    def __init__(self, it, depth: int = 8):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+        self._t = threading.Thread(
+            target=self._run, args=(it,), daemon=True)
+        self._t.start()
+
+    def _run(self, it):
+        try:
+            for item in it:
+                self._q.put(item)
+        except BaseException as exc:  # re-raised on the consumer thread
+            self._err = exc
+        finally:
+            self._q.put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            self._t.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
 
 
 # --------------------------------------------------------------------------
@@ -425,44 +494,61 @@ class DistributedCompressor:
             _barrier("raw-file-sized")
 
             raw_total = 0
-            with open(dst, "r+b") as fout:
+            with open(dst, "r+b") as fout, open(src, "rb") as fwalk:
                 # Same submit-ahead overlap as the local drive loop: the
                 # devices decode segment N+1 while this host splices and
-                # writes segment N.
-                segs = _segment_stream(body, body_size, rank, world, chunkp)
+                # writes segment N.  The index walk + its broadcasts run
+                # on a prefetch thread with their OWN file handle (the
+                # walker and _load_segment would otherwise race seeks on
+                # one fd), so the per-segment collectives stay off the
+                # decode critical path.
+                walk_body = _BodyView(fwalk, container.HEADER_LENGTH)
+                segs = _IterPrefetcher(_segment_stream(
+                    walk_body, body_size, rank, world, chunkp))
                 pending = None  # (handle, raw_sizes, raw_lo, raw_hi)
+
+                def _drain(p):
+                    h, raw_sizes, raw_lo, raw_hi = p
+                    with process:
+                        raw = self.backend.decode_fetch(h)
+                        piece = _splice(raw, raw_sizes)
+                    with io:
+                        # Raw offsets come from the walked index, so
+                        # short non-final packets land right.
+                        fout.seek(raw_lo)
+                        fout.write(piece)
+                    local.processed_uncompressed_size = raw_hi
+                    monitor.update(local)
+
                 seg_no = 0
                 while True:
                     with io:
                         seg = next(segs, None)
-                    handle = None
-                    if seg is not None:
-                        raw_total = int(seg[1, -1])
-                        if seg_no % world == rank:
-                            with io:
-                                packets, raw_sizes = _load_segment(body, seg)
-                            with process:
-                                handle = (
-                                    self.backend.decode_submit(
-                                        packets, raw_sizes),
-                                    raw_sizes, int(seg[1, 0]),
-                                    int(seg[1, -1]))
-                    if pending is not None:
-                        h, raw_sizes, raw_lo, raw_hi = pending
-                        with process:
-                            raw = self.backend.decode_fetch(h)
-                            piece = _splice(raw, raw_sizes)
-                        with io:
-                            # Raw offsets come from the walked index, so
-                            # short non-final packets land right.
-                            fout.seek(raw_lo)
-                            fout.write(piece)
-                        local.processed_uncompressed_size = raw_hi
-                        monitor.update(local)
-                    pending = handle
-                    seg_no += 1
-                    if seg is None and pending is None:
+                    if seg is None:
                         break
+                    raw_total = int(seg[1, -1])
+                    if seg_no % world == rank:
+                        # Pipeline over OWNED segments: fetch the previous
+                        # owned segment only once the next one is
+                        # submitted, so the device decodes N+world while
+                        # this host splices and writes N.  (Fetching on
+                        # the next loop iteration would expose the full
+                        # device time whenever ownership is strided —
+                        # non-owned iterations are near-free.)
+                        with io:
+                            packets, raw_sizes = _load_segment(body, seg)
+                        with process:
+                            handle = (
+                                self.backend.decode_submit(
+                                    packets, raw_sizes),
+                                raw_sizes, int(seg[1, 0]),
+                                int(seg[1, -1]))
+                        if pending is not None:
+                            _drain(pending)
+                        pending = handle
+                    seg_no += 1
+                if pending is not None:
+                    _drain(pending)
             if raw_total != header.uncompressed_size:
                 raise container.ContainerError(
                     "Incorrect file format: packet raw sizes total "
