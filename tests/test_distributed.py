@@ -219,3 +219,59 @@ def test_distributed_decompress_progress_deciles(tmp_path, rng):
     text = out.getvalue()
     assert text == ("".join(f"{k}%.." for k in range(0, 101, 10))
                     + "Closing file..\n")
+
+
+def test_iter_prefetcher_order_and_error():
+    assert list(dist._IterPrefetcher(iter(range(100)), depth=3)) == \
+        list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise container.ContainerError("walk failed")
+
+    it = dist._IterPrefetcher(boom())
+    assert next(it) == 1 and next(it) == 2
+    with pytest.raises(container.ContainerError, match="walk failed"):
+        next(it)
+
+
+def test_segment_stream_grouped_broadcast_protocol(rng, monkeypatch):
+    """The grouped-broadcast protocol: rank 0 walks and broadcasts
+    geometrically growing index groups; receivers re-slice locally into
+    chunk-sized segments.  Simulated by recording rank 0's broadcast
+    payloads and replaying them into a receiver-rank stream: both ranks
+    must yield identical segment sequences (and the walker must emit the
+    terminating empty broadcast)."""
+    from jax.experimental import multihost_utils
+
+    bodies = [bytes([7 * i % 256]) * (5 + 13 * i % 700) for i in range(23)]
+    blob = _framed_blob(bodies)
+
+    for chunk in (1, 2, 3, 23, 50):
+        bus = []
+        monkeypatch.setattr(
+            multihost_utils, "broadcast_one_to_all",
+            lambda x, _bus=bus: (_bus.append(np.array(x)), x)[1])
+        sent = list(dist._segment_stream(
+            dist._BodyView(io.BytesIO(blob), 0), len(blob),
+            rank=0, world=2, chunk_packets=chunk, group_max=4))
+        assert len(bus) >= 2  # at least one payload + the terminator
+        assert int(dist._join_u32(bus[-1])[0, -1]) == 0
+
+        replay = iter(bus)
+        monkeypatch.setattr(
+            multihost_utils, "broadcast_one_to_all",
+            lambda _x, _it=replay: next(_it))
+        got = list(dist._segment_stream(
+            None, len(blob), rank=1, world=2, chunk_packets=chunk,
+            group_max=4))
+
+        assert len(got) == len(sent)
+        for a, b in zip(sent, got):
+            assert np.array_equal(a, b)
+        # Group sizes grow 1, 2, 4, 4, ... (last group may be short).
+        full = dist.walk_packet_index(io.BytesIO(blob), len(blob))
+        nseg = full.shape[1] - 1  # packets
+        expect_segments = -(-nseg // chunk)
+        assert len(sent) == expect_segments

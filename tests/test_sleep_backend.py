@@ -58,3 +58,18 @@ def test_sleep_backend_sleeps_not_burns(rng):
     t0 = time.perf_counter()
     be2.encode_fetch(be2.encode_submit(raw))
     assert time.perf_counter() - t0 >= 0.030
+
+
+def test_sleep_backend_serializes_device_time(rng):
+    # A real device queues submitted batches: two in-flight batches must
+    # cost the SUM of their device times, not the max (a concurrent-sleep
+    # control would emulate a 2x-throughput device under submit-ahead and
+    # skew whichever world size pipelines deeper).
+    raw = rng.integers(0, 256, 2 * P, np.uint8)
+    be = SleepCompressor(gbps=0.001)  # ~16 ms per 2-packet batch
+    t0 = time.perf_counter()
+    h1 = be.encode_submit(raw)
+    h2 = be.encode_submit(raw)
+    be.encode_fetch(h1)
+    be.encode_fetch(h2)
+    assert time.perf_counter() - t0 >= 0.028
