@@ -270,6 +270,10 @@ def _segment_stream(body, body_size: int, rank: int, world: int,
             group = list(itertools.islice(walker, group_size))
             total = sum(s.shape[1] - 1 for s in group)
             pad[0, -1] = total
+            # Spare slot carries the walker's segment size: re-slicing
+            # (and round-robin ownership) silently corrupts output if
+            # hosts disagree on super_batch_packets, so receivers check.
+            pad[1, -1] = chunk_packets
             pos = 0
             for s in group:
                 # Adjacent segments share their join column (identical
@@ -288,6 +292,12 @@ def _segment_stream(body, body_size: int, rank: int, world: int,
             total = int(got[0, -1])
             if total == 0:
                 return
+            if int(got[1, -1]) != chunk_packets:
+                raise RuntimeError(
+                    "segment-stream chunk mismatch: rank 0 walks "
+                    f"{int(got[1, -1])} packets/segment, this rank expects "
+                    f"{chunk_packets} — hosts must configure the same "
+                    "super_batch_packets")
             for lo in range(0, total, chunk_packets):
                 hi = min(lo + chunk_packets, total)
                 yield got[:, lo: hi + 1]

@@ -275,3 +275,21 @@ def test_segment_stream_grouped_broadcast_protocol(rng, monkeypatch):
         nseg = full.shape[1] - 1  # packets
         expect_segments = -(-nseg // chunk)
         assert len(sent) == expect_segments
+
+
+def test_segment_stream_chunk_mismatch_detected(rng, monkeypatch):
+    from jax.experimental import multihost_utils
+
+    blob = _framed_blob([b"\x55" * 100] * 6)
+    bus = []
+    monkeypatch.setattr(
+        multihost_utils, "broadcast_one_to_all",
+        lambda x: (bus.append(np.array(x)), x)[1])
+    list(dist._segment_stream(dist._BodyView(io.BytesIO(blob), 0),
+                              len(blob), rank=0, world=2, chunk_packets=2))
+    replay = iter(bus)
+    monkeypatch.setattr(
+        multihost_utils, "broadcast_one_to_all", lambda _x: next(replay))
+    with pytest.raises(RuntimeError, match="chunk mismatch"):
+        list(dist._segment_stream(None, len(blob), rank=1, world=2,
+                                  chunk_packets=3))
