@@ -42,7 +42,9 @@ def test_probe_sweep_paths_execute(argv, monkeypatch):
     packets = np.zeros((N, OW * 4), np.uint8)
     sizes = np.full(N, PS, np.int32)
 
-    monkeypatch.setattr(pr, "corpus", lambda **kw: (data, packets, sizes))
+    plens = np.full(N, 16, np.int32)
+    monkeypatch.setattr(pr, "corpus",
+                        lambda **kw: (data, packets, sizes, plens))
     monkeypatch.setattr(pr, "run", lambda name, *a, **kw: None)
 
     class _FakeEncodeCall:
@@ -52,7 +54,7 @@ def test_probe_sweep_paths_execute(argv, monkeypatch):
 
         def __call__(self, wd, sz, **kw):
             pk32 = np.ascontiguousarray(packets).view(np.int32)
-            return (pk32, np.zeros((1, N), np.int32),
+            return (pk32, np.full((1, N), 16, np.int32),
                     np.zeros((1, N), np.int32))
 
     monkeypatch.setattr(pr.pallas_encode, "_encode_call", _FakeEncodeCall())
