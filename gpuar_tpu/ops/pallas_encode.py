@@ -71,11 +71,12 @@ UNROLL_WORDS = 4   # input words coded per scalar-loop iteration: with
                    # the two hull-branch chunk variants, 8 pushes the
                    # unrolled body past a scheduling/size threshold that
                    # costs the full path ~15%; swept 2/4/8 on-chip
-DUMP_WORDS = 2     # input words between ring dumps (swept 1/2/4 on-chip:
-                   # 1.07 -> 1.11 GB/s); the dump parity-slot
+DUMP_WORDS = 4     # input words between ring dumps (r4 sweep under
+                   # PAIRED_DIV at unroll=4: dump=1 1.149, dump=2 1.193,
+                   # dump=4 1.222 GB/s, bit-exact); the dump parity-slot
                    # select drains up to 16 ring words in one pass, and a
                    # transient live span past RING trips the error flag
-                   # (needs a sustained ~46-bit/symbol burst: adversarial
+                   # (needs a sustained bit-emission burst: adversarial
                    # content only, host re-encode keeps output identical)
 STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # latency-bound (unroll=8 already hides the chain);

@@ -43,8 +43,9 @@ def test_probe_sweep_paths_execute(argv, monkeypatch):
     sizes = np.full(N, PS, np.int32)
 
     plens = np.full(N, 16, np.int32)
+    perr = np.zeros(N, bool)
     monkeypatch.setattr(pr, "corpus",
-                        lambda **kw: (data, packets, sizes, plens))
+                        lambda **kw: (data, packets, sizes, plens, perr))
     monkeypatch.setattr(pr, "run", lambda name, *a, **kw: None)
 
     class _FakeEncodeCall:
