@@ -142,3 +142,60 @@ def test_underflow_error_flag_and_fixup(rng):
     for i in range(8):
         exp = native.encode_packet(data[i].tobytes())
         assert pk[i, : ln[i]].tobytes() == exp, f"lane {i} diverged"
+
+
+def _antimodel_packet(rng, n):
+    """Max-emission adversary: always code a least-frequent symbol, so
+    every step costs ~log2(cumprob) bits (up to ~13.7 by packet end) —
+    the sustained worst case for ring live span between the kernel's
+    scheduled dumps (DUMP_WORDS cadence, src ring comment in
+    ops/pallas_encode.py).  Unlike the underflow adversary this content
+    must NOT flag: expansion is bounded by EXTRA_COMPRESSED_SIZE slack
+    (src/gpu.h:8,12 analog in config.py)."""
+    counts = np.ones(256, np.int64)
+    out = np.empty(n, np.uint8)
+    for i in range(n):
+        least = np.flatnonzero(counts == counts.min())
+        s = int(rng.choice(least))
+        out[i] = s
+        counts[s] += 1
+    return out
+
+
+def test_ring_pressure_fuzz_dump_cadence(rng):
+    """Fresh-seed re-gate of the DUMP_WORDS=4 adoption (round 4): the
+    longer dump cadence raises the ring's live span, so fuzz the
+    highest-emission content classes through the production cadence in
+    interpret mode and demand byte-equality with the golden codec
+    (flagged lanes go through the production fixup inside
+    encode_batch_pallas).  Families: anti-model max-rate, uniform
+    random, midpoint straddle alternation, dense staircases."""
+    P = 512
+    lanes = []
+    lanes.append(_antimodel_packet(rng, P))
+    lanes.append(rng.integers(0, 256, P, np.uint8))
+    lanes.append(np.tile(np.array([128, 127], np.uint8), P // 2))
+    lanes.append((np.arange(P) * 7 % 256).astype(np.uint8))
+    lanes.append(np.tile(np.array([255, 0, 254, 1], np.uint8), P // 4))
+    for _ in range(3):
+        conc = 10.0 ** -rng.uniform(0, 2)
+        p = rng.dirichlet(np.full(256, conc))
+        lanes.append(rng.choice(256, P, p=p).astype(np.uint8))
+    data = np.stack(lanes)
+    sizes = np.full(len(lanes), P, np.int32)
+    sizes[-1] = P - 3  # ragged tail under max pressure
+    data[-1, P - 3:] = 0
+
+    pk, ln = pallas_encode.encode_batch_pallas(
+        data, sizes, tile=8, packet_size=P, interpret=True)
+    for i in range(len(lanes)):
+        exp = native.encode_packet(data[i, : sizes[i]].tobytes())
+        assert pk[i, : ln[i]].tobytes() == exp, f"lane {i} diverged"
+
+    # Decode side: the same packets must round-trip through the decode
+    # kernel (its refill ring paces differently under long packets).
+    from gpuar_tpu.ops import pallas_decode
+    back = pallas_decode.decode_batch_pallas(
+        pk, sizes, tile=8, packet_size=P, interpret=True)
+    for i in range(len(lanes)):
+        assert np.array_equal(back[i, : sizes[i]], data[i, : sizes[i]]), i
