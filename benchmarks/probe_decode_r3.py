@@ -44,6 +44,17 @@ def corpus(n_packets=9216, psize=8192, kind="random"):
         data = np.frombuffer(
             enwik_proxy.generate(n_packets * psize), np.uint8
         ).reshape(n_packets, psize).copy()
+    elif kind == "text":
+        # The machine-text corpus run.py benches, entropy-sorted like
+        # the production pipeline (run.py:94-97) so tiles group by
+        # content class — the shape in which its decode row measures
+        # anomalously slow (0.89 vs random 0.96 / proxy 1.21).
+        from benchmarks.run import _text_corpus
+        from gpuar_tpu.parallel.mesh import _entropy_order
+        data = np.frombuffer(
+            _text_corpus(n_packets * psize), np.uint8
+        ).reshape(n_packets, psize).copy()
+        data = data[_entropy_order(data)]
     else:
         rng = np.random.default_rng(0xBE7C)
         data = rng.integers(0, 256, (n_packets, psize), np.uint8)
@@ -117,10 +128,12 @@ def run(name, packets, sizes, data, *, tile=1024, reps=5, check=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--corpus", choices=["random", "proxy"],
+    ap.add_argument("--corpus", choices=["random", "proxy", "text"],
                     default="random",
                     help="proxy = pinned enwik stand-in (exercises the "
-                         "speculative hull-window path)")
+                         "speculative hull-window path); text = the "
+                         "entropy-sorted machine corpus (the anomalous "
+                         "decode row)")
     ap.add_argument("--floor-only", action="store_true")
     ap.add_argument("--skip-floor", action="store_true")
     ap.add_argument("--encode-floor", action="store_true")
@@ -138,6 +151,9 @@ def main():
                     help="round-4 grid: XDIV (cross-stream paired div) "
                          "x OFFSET_STATE x streams/tile, plus an unroll "
                          "re-sweep under OFFSET_STATE")
+    ap.add_argument("--hull", action="store_true",
+                    help="DECODE_HULL on/off A/B on the chosen corpus "
+                         "(the text-row anomaly probe)")
     ap.add_argument("--enc-r4", action="store_true",
                     help="encode residual sweep (VERDICT r3 next #8): "
                          "dump cadence re-sweep under PAIRED_DIV, "
@@ -312,6 +328,23 @@ def main():
                     f"{'OFFSET ' if off else ''}streams={streams} "
                     f"tile={tile} unroll={unroll}",
                     packets, sizes, data, tile=tile, reps=args.reps)
+            return
+
+        if args.hull:
+            # --- DECODE_HULL A/B on the chosen corpus: is the
+            # speculative low-window bet (snapshot copies + per-symbol
+            # miss checks + discarded chunks) paying on this content
+            # class?  Both variants are bit-exact (run() asserts). ---
+            D.PAIRED_DIV, D.FREE_RUN = True, True
+            sel = range(2) if args.only is None else [args.only]
+            for i, hull in enumerate((True, False)):
+                if i not in sel:
+                    continue
+                D.DECODE_HULL = hull
+                run(f"{args.corpus} HULL={'on ' if hull else 'off'} "
+                    "streams=2 tile=1024",
+                    packets, sizes, data, tile=1024, reps=args.reps)
+            D.DECODE_HULL = saved["DECODE_HULL"]
             return
 
         if args.offset:

@@ -28,6 +28,8 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
     ["--r4", "--only", "7", "--skip-floor", "--reps", "1"],
     ["--enc-r4", "--skip-floor", "--reps", "1"],
     ["--enc-r4", "--only", "6", "--skip-floor", "--reps", "1"],
+    ["--hull", "--skip-floor", "--reps", "1"],
+    ["--hull", "--only", "1", "--skip-floor", "--reps", "1"],
 ])
 def test_probe_sweep_paths_execute(argv, monkeypatch):
     sys.path.insert(0, str(_REPO_ROOT))
