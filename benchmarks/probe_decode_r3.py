@@ -151,6 +151,9 @@ def main():
                     help="round-4 grid: XDIV (cross-stream paired div) "
                          "x OFFSET_STATE x streams/tile, plus an unroll "
                          "re-sweep under OFFSET_STATE")
+    ap.add_argument("--chunk", action="store_true",
+                    help="CHUNK_WORDS 32 vs 64 A/B, decode + encode "
+                         "(grid time-chunk count halving)")
     ap.add_argument("--hull", action="store_true",
                     help="DECODE_HULL on/off A/B on the chosen corpus "
                          "(the text-row anomaly probe)")
@@ -328,6 +331,57 @@ def main():
                     f"{'OFFSET ' if off else ''}streams={streams} "
                     f"tile={tile} unroll={unroll}",
                     packets, sizes, data, tile=tile, reps=args.reps)
+            return
+
+        if args.chunk:
+            # --- CHUNK_WORDS 32 vs 64, both kernels: halves the grid's
+            # time-chunk count (fewer per-chunk overheads: refill-hull
+            # recompute + speculation snapshot on decode, hull dispatch
+            # + mid-stream finish on encode) at unchanged loop-iteration
+            # count.  Aligned with the r4 issue-bound finding: these are
+            # op-count cuts, not scheduling changes. ---
+            D.PAIRED_DIV, D.FREE_RUN = True, True
+            E = pallas_encode
+            og2, _ = E.out_geometry(data.shape[1])
+            wd = jnp.asarray(np.ascontiguousarray(data).view(np.int32))
+            sz = jnp.asarray(sizes.reshape(1, -1))
+
+            def time_enc(tag):
+                E._encode_call.clear_cache()
+                out = E._encode_call(wd, sz, tile=1024,
+                                     packet_size=data.shape[1],
+                                     out_groups=og2)
+                np.asarray(out[1][0:1, 0:1])
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    out = E._encode_call(wd, sz, tile=1024,
+                                         packet_size=data.shape[1],
+                                         out_groups=og2)
+                    np.asarray(out[1][0:1, 0:1])
+                    ts.append(time.time() - t0)
+                assert_bitstream_equal(out)
+                print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s",
+                      flush=True)
+
+            # Indices: 0/1 decode chunk 32/64, 2/3 encode chunk 32/64.
+            sel = range(4) if args.only is None else [args.only]
+            dsave, esave = D.CHUNK_WORDS, E.CHUNK_WORDS
+            try:
+                for i, cw in ((0, 32), (1, 64)):
+                    if i not in sel:
+                        continue
+                    D.CHUNK_WORDS = cw
+                    run(f"decode chunk={cw} streams=2 tile=1024",
+                        packets, sizes, data, tile=1024, reps=args.reps)
+                for i, cw in ((2, 32), (3, 64)):
+                    if i not in sel:
+                        continue
+                    E.CHUNK_WORDS = cw
+                    time_enc(f"encode chunk={cw} dump={E.DUMP_WORDS} "
+                             f"unroll={E.UNROLL_WORDS}")
+            finally:
+                D.CHUNK_WORDS, E.CHUNK_WORDS = dsave, esave
             return
 
         if args.hull:

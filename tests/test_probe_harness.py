@@ -30,6 +30,8 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
     ["--enc-r4", "--only", "6", "--skip-floor", "--reps", "1"],
     ["--hull", "--skip-floor", "--reps", "1"],
     ["--hull", "--only", "1", "--skip-floor", "--reps", "1"],
+    ["--chunk", "--skip-floor", "--reps", "1"],
+    ["--chunk", "--only", "3", "--skip-floor", "--reps", "1"],
 ])
 def test_probe_sweep_paths_execute(argv, monkeypatch):
     sys.path.insert(0, str(_REPO_ROOT))
