@@ -1,0 +1,13 @@
+#!/bin/bash
+# CHUNK_WORDS sweep, chained after the hull A/B finishes (solo-TPU rule:
+# PROBES_r2.md 'keep TPU benches solo').
+LOG=benchmarks/_r4e_chunk.log
+cd "$(dirname "$0")/.."
+while pgrep -f "benchmarks/_r4d_hull.sh" > /dev/null 2>&1; do sleep 30; done
+{
+echo "===== chunk A/B @ $(date -u +%FT%TZ) ====="
+for i in 0 1 2 3; do
+  timeout 1800 python benchmarks/probe_decode_r3.py --skip-floor --chunk --only $i --reps 5 2>&1 | grep -v "^WARNING"
+done
+echo "===== done @ $(date -u +%FT%TZ) ====="
+} >> "$LOG" 2>&1
