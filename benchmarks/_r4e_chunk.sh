@@ -1,9 +1,7 @@
 #!/bin/bash
-# CHUNK_WORDS sweep, chained after the hull A/B finishes (solo-TPU rule:
-# PROBES_r2.md 'keep TPU benches solo').
+# CHUNK_WORDS sweep (hull A/B already finished; runs solo on the TPU).
 LOG=benchmarks/_r4e_chunk.log
 cd "$(dirname "$0")/.."
-while pgrep -f "benchmarks/_r4d_hull.sh" > /dev/null 2>&1; do sleep 30; done
 {
 echo "===== chunk A/B @ $(date -u +%FT%TZ) ====="
 for i in 0 1 2 3; do

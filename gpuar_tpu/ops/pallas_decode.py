@@ -192,7 +192,7 @@ def _shr_u(x, n):
 
 def _decode_kernel(sizes_ref, in_ref, *refs,
                    tile, steps_per_chunk, n_chunks, out_groups, unroll,
-                   streams, debug, fuse_k, stacked):
+                   streams, debug, fuse_k, stacked, hull):
     if debug:
         out_ref, flag_ref, st, *scratch = refs
     else:
@@ -981,7 +981,7 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             save_st()
 
     rc = run_chunk_stacked if stacked else run_chunk
-    if DECODE_HULL:
+    if hull:
         sticky0 = jnp.max(st[5:6, :]) > 0
 
         @pl.when(jnp.logical_not(sticky0))
@@ -1013,10 +1013,10 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "packet_size", "out_groups", "interpret",
-                     "debug"),
+                     "debug", "hull"),
 )
 def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
-                 interpret=False, debug=False):
+                 interpret=False, debug=False, hull=None):
     """Decode packets32 [n_lanes, out_words] i32 (u8 view = the framed
     bitstreams) -> raw words [n_lanes, p_words] i32 (u8 view = the bytes);
     with debug=True returns (raw_words, flags [2, n_lanes]): row 0 flags
@@ -1024,11 +1024,22 @@ def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
     failure, src/gpuar_kernel.cu:290-298,758-762), row 1 is the final bit
     cursor for the host-side overrun check (check_debug_flags).
 
+    hull selects the speculative low-window variant (None = the
+    DECODE_HULL module default at trace time).  Both variants are
+    bit-exact; hull=False skips the speculation bet (its miss checks,
+    snapshot copies and discarded chunks), which measures faster on
+    content that would miss anyway — incompressible batches route here
+    (mesh.MeshCodec._route_hull, PROBES_r4.md hull A/B: random 0.942 vs
+    0.909 GB/s).  As a static arg, both variants coexist in the jit
+    cache for per-batch routing.
+
     Layout work (byte order, tile interleave, output transpose) runs on
     the device — the host only reinterprets dtypes.
     """
     from gpuar_tpu.ops.pallas_encode import _bswap32
 
+    if hull is None:
+        hull = DECODE_HULL
     n_lanes = packets32.shape[0]
     n_tiles = n_lanes // tile
     g = out_groups
@@ -1036,14 +1047,14 @@ def _decode_call(packets32, sizes, *, tile, packet_size, out_groups,
         .transpose(2, 0, 3, 1).reshape(g, 8 * n_lanes)
     out = _decode_big2d(big, sizes, tile=tile, packet_size=packet_size,
                         out_groups=out_groups, interpret=interpret,
-                        debug=debug)
+                        debug=debug, hull=hull)
     if debug:
         return out[0].T, out[1]
     return out.T
 
 
 def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
-                  interpret=False, debug=False):
+                  interpret=False, debug=False, hull=True):
     n_lanes = sizes.shape[1]
     n_tiles = n_lanes // tile
     p_words = packet_size // 4
@@ -1080,6 +1091,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         debug=debug,
         fuse_k=_fuse_k(1 if interpret else UNROLL_WORDS),
         stacked=stacked,
+        hull=hull,
     )
     out_specs = pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
                              memory_space=pltpu.VMEM)
@@ -1110,9 +1122,12 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
             + ([] if stacked
                else [pltpu.VMEM((8, tile // streams), jnp.int32)
                      for _ in range(streams)])
-            + [pltpu.VMEM((128 if DUAL_TABLE else 256,
-                           tile // streams), jnp.int32)
-               for _ in range(streams)]
+            # Speculation snapshots: only the hull variant restores the
+            # table on a missed window; the full-range variant frees the
+            # VMEM (256 x (tile/streams) x 4 B per stream).
+            + ([pltpu.VMEM((128 if DUAL_TABLE else 256,
+                            tile // streams), jnp.int32)
+                for _ in range(streams)] if hull else [])
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -1136,7 +1151,8 @@ def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
                         tile: int = 1024,
                         packet_size: int = UNCOMPRESSED_PACKET_SIZE,
                         interpret: bool = False,
-                        debug: bool = False) -> np.ndarray:
+                        debug: bool = False,
+                        hull: bool | None = None) -> np.ndarray:
     """Decode fixed-stride packets -> padded raw [B, packet_size] u8.
 
     With debug=True the kernel additionally evaluates the reference's
@@ -1154,7 +1170,7 @@ def decode_batch_pallas(packets: np.ndarray, raw_sizes: np.ndarray, *,
     out = _decode_call(
         jnp.asarray(packets32), jnp.asarray(sz),
         tile=tile, packet_size=packet_size, out_groups=out_groups,
-        interpret=interpret, debug=debug,
+        interpret=interpret, debug=debug, hull=hull,
     )
     if debug:
         out, flags = out

@@ -178,11 +178,11 @@ def _sharded_encode(mesh, tile, packet_size, out_groups, interpret):
 
 
 def _sharded_decode(mesh, tile, packet_size, out_groups, interpret,
-                    debug=False):
+                    debug=False, hull=None):
     call = functools.partial(
         pallas_decode._decode_call,
         tile=tile, packet_size=packet_size, out_groups=out_groups,
-        interpret=interpret, debug=debug,
+        interpret=interpret, debug=debug, hull=hull,
     )
     if mesh.devices.size == 1:
         return call
@@ -236,19 +236,29 @@ class MeshCodec:
                     jnp.take(lens, inv, axis=1),
                     jnp.take(errs, inv, axis=1))
 
-        def dec_sorted(packets32, sizes, order, inv):
-            out = dec(jnp.take(packets32, order, axis=0),
-                      jnp.take(sizes, order, axis=1))
-            if debug:
-                out, flags = out
-                return (jnp.take(out, inv, axis=0),
-                        jnp.take(flags, inv, axis=1))
-            return jnp.take(out, inv, axis=0)
+        def make_dec_sorted(hull):
+            d = dec if hull is None else _sharded_decode(
+                self.mesh, tile, packet_size, self.out_groups, interpret,
+                debug=debug, hull=hull)
+
+            def dec_sorted(packets32, sizes, order, inv):
+                out = d(jnp.take(packets32, order, axis=0),
+                        jnp.take(sizes, order, axis=1))
+                if debug:
+                    out, flags = out
+                    return (jnp.take(out, inv, axis=0),
+                            jnp.take(flags, inv, axis=1))
+                return jnp.take(out, inv, axis=0)
+
+            return jax.jit(dec_sorted)
 
         self._enc = enc
         self._dec = dec
         self._enc_sorted = jax.jit(enc_sorted)
-        self._dec_sorted = jax.jit(dec_sorted)
+        # Decode variants by hull route (None = module default); built
+        # lazily so a single-content workload compiles one kernel.
+        self._make_dec_sorted = make_dec_sorted
+        self._dec_sorted_v: dict = {}
 
         # Compacted-transfer variants (see the module comment above
         # _compact_rows): same kernels, with a device-side gather that
@@ -383,6 +393,36 @@ class MeshCodec:
     def decode_device(self, packets32, sizes):
         return self._dec(packets32, sizes)
 
+    def _dec_sorted(self, hull=None):
+        f = self._dec_sorted_v.get(hull)
+        if f is None:
+            f = self._dec_sorted_v[hull] = self._make_dec_sorted(hull)
+        return f
+
+    @staticmethod
+    def _route_hull(density: np.ndarray) -> bool:
+        """Pick the decode-kernel variant for a batch from its per-packet
+        density (compressed bits per raw byte * 1024, the sort key that
+        is already computed — the decoder knows nothing else about the
+        content before decoding).
+
+        The speculative low-window bet only pays on batches that stay in
+        rows [0,128); incompressible batches always miss and pay the
+        bet's overhead (miss checks, snapshot passes, one discarded
+        chunk per tile) for nothing — measured −3.6% on random
+        (PROBES_r4.md hull A/B).  An incompressible batch is the one
+        case density identifies reliably (ratio ≈ 1); compressible
+        batches keep the default hull=True even though high-byte-laced
+        text would prefer off (−2%): byte values are unknowable before
+        decoding, and proxy-class content gains far more (+13–25%) than
+        mixed text loses.  A wrong route only costs speed, never bits —
+        both variants are bit-exact.
+        """
+        if density.size == 0:
+            return True
+        # density = comp_len * 8192 // raw_size ≈ ratio * 8192.
+        return bool(np.median(density) < int(0.97 * 8192))
+
     def decode_async(self, packets: np.ndarray, raw_sizes: np.ndarray):
         # Sort by compressed bits per raw byte (TRUE compressibility, free
         # from the packet headers) so each tile's cursor hull stays tight
@@ -401,8 +441,9 @@ class MeshCodec:
             packets, self.lane_quantum, self.out_words)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = raw_sizes
-        out = self._dec_sorted(jnp.asarray(packets32), jnp.asarray(sz),
-                               jnp.asarray(order), jnp.asarray(inv))
+        out = self._dec_sorted(self._route_hull(density))(
+            jnp.asarray(packets32), jnp.asarray(sz),
+            jnp.asarray(order), jnp.asarray(inv))
         if self.debug:
             out, flags = out
             return (out, flags, comp_len), n
@@ -461,8 +502,9 @@ class MeshCodec:
         sz[0, :n] = raw_sizes
         pk = self._expand(jnp.asarray(blob.view(np.int32).reshape(kb, R)),
                           jnp.asarray(roff))
-        out = self._dec_sorted(pk, jnp.asarray(sz),
-                               jnp.asarray(order), jnp.asarray(inv))
+        out = self._dec_sorted(self._route_hull(density))(
+            pk, jnp.asarray(sz),
+            jnp.asarray(order), jnp.asarray(inv))
         if self.debug:
             out, flags = out
             return (out, flags, comp_len), n

@@ -192,10 +192,14 @@ def test_ring_pressure_fuzz_dump_cadence(rng):
         exp = native.encode_packet(data[i, : sizes[i]].tobytes())
         assert pk[i, : ln[i]].tobytes() == exp, f"lane {i} diverged"
 
-    # Decode side: the same packets must round-trip through the decode
-    # kernel (its refill ring paces differently under long packets).
+    # Decode side: the same packets must round-trip through BOTH decode
+    # kernel variants — the speculative hull bet and the full-range
+    # route (mesh routes incompressible batches to hull=False,
+    # PROBES_r4.md hull A/B).
     from gpuar_tpu.ops import pallas_decode
-    back = pallas_decode.decode_batch_pallas(
-        pk, sizes, tile=8, packet_size=P, interpret=True)
-    for i in range(len(lanes)):
-        assert np.array_equal(back[i, : sizes[i]], data[i, : sizes[i]]), i
+    for hull in (True, False):
+        back = pallas_decode.decode_batch_pallas(
+            pk, sizes, tile=8, packet_size=P, interpret=True, hull=hull)
+        for i in range(len(lanes)):
+            assert np.array_equal(back[i, : sizes[i]],
+                                  data[i, : sizes[i]]), (hull, i)

@@ -122,3 +122,34 @@ def test_compacted_body_fixup_rare_path(rng):
     expected = b"".join(packets[i, : lengths2[i]].tobytes()
                         for i in range(n))
     assert body.tobytes() == expected
+
+
+def test_hull_route_by_density(rng):
+    """Decode routes incompressible batches to the full-range kernel
+    variant and compressible batches to the speculative hull variant
+    (mesh._route_hull; PROBES_r4.md hull A/B: random −3.6% under the
+    bet, proxy +13–25% with it).  Both variants must round-trip
+    bit-exactly and the router must pick by median density."""
+    from gpuar_tpu.parallel.mesh import MeshCodec
+
+    assert MeshCodec._route_hull(np.array([8260, 8270, 8255])) is False
+    assert MeshCodec._route_hull(np.array([4600, 4700, 210])) is True
+    # Mixed batch: median decides.
+    assert MeshCodec._route_hull(np.array([8260, 4600, 4700])) is True
+    assert MeshCodec._route_hull(np.array([], np.int64)) is True
+
+    P = 64
+    codec = MeshCodec(make_mesh(), tile=8, packet_size=P, interpret=True)
+    # 64-symbol packets barely adapt the order-0 model, so "compressible"
+    # here needs a tiny alphabet (2 symbols ≈ 1.3 bits/byte after
+    # warmup); full-range ASCII at this packet size codes at ~8 bits/byte
+    # and correctly routes full-range like random.
+    for body in (rng.integers(0, 256, (64, P), np.uint8),      # routes off
+                 rng.integers(97, 99, (64, P), np.uint8)):     # routes on
+        sizes = np.full(64, P, np.int32)
+        packets, lengths = codec.encode(body, sizes)
+        out = codec.decode(packets, sizes)
+        for i in range(64):
+            assert out[i, :P].tobytes() == body[i].tobytes(), i
+    # Both variants got compiled and cached by the two routes.
+    assert set(codec._dec_sorted_v) == {True, False}
