@@ -112,24 +112,37 @@ def _emit_unreachable(reason: str) -> None:
     measured result.  With no snapshot, fall back to the honest 0.0."""
     import glob
     import os
+    import re
 
     print(f"bench: {reason} — aborting", file=sys.stderr)
     root = os.path.dirname(os.path.abspath(__file__))
-    snaps = sorted(glob.glob(
-        os.path.join(root, "benchmarks", "bench_snapshot_r*.json")))
+    # Newest snapshot by NUMERIC round index (lexicographic sort would
+    # put r10 before r4), labeled with the round it actually came from —
+    # a stale prior-round snapshot must not masquerade as this round's.
+    snaps = sorted(
+        glob.glob(os.path.join(root, "benchmarks",
+                               "bench_snapshot_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p))
+                          .group(1)))
     if snaps:
         try:
             with open(snaps[-1]) as f:
                 snap = json.loads(f.readline())
+            rnd = re.search(r"_r(\d+)",
+                            os.path.basename(snaps[-1])).group(1)
             ts = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                time.gmtime(os.path.getmtime(snaps[-1])))
+            # Machine-readable at the TOP level: consumers parsing only
+            # the headline fields must be able to tell replay from live.
+            snap["replay"] = True
+            snap["replay_of"] = f"round-{rnd} committed on-chip capture"
             snap.setdefault("detail", {})["source"] = (
-                f"REPLAY of committed same-round on-chip capture "
+                f"REPLAY of committed round-{rnd} on-chip capture "
                 f"{os.path.basename(snaps[-1])} ({ts}); accelerator "
                 f"unreachable at bench time: {reason}")
             print(json.dumps(snap))
             return
-        except (OSError, ValueError, KeyError) as e:
+        except (OSError, ValueError, KeyError, AttributeError) as e:
             print(f"bench: snapshot replay failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "encode+decode device throughput (64MiB random, "

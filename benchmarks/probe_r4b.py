@@ -46,7 +46,7 @@ def main():
     args = ap.parse_args()
 
     D, E = pallas_decode, pallas_encode
-    data, packets, sizes, plens = corpus(n_packets=6144)
+    data, packets, sizes, plens, perr = corpus(n_packets=6144)
     D.PAIRED_DIV, D.FREE_RUN = True, True
 
     if not args.skip_decode:
@@ -90,10 +90,16 @@ def main():
                                  out_groups=og)
             np.asarray(out[1][0:1, 0:1])
             ts.append(time.time() - t0)
+        # Lanes error-flagged in either run are excluded from the
+        # bit-compare (their kernel rows are pre-fixup; production
+        # golden-re-encodes them) — matching probe_decode_r3's checker.
+        errs_new = np.asarray(out[2]).reshape(-1).astype(bool)
+        ok = ~(perr | errs_new)
         lens_new = np.asarray(out[1]).reshape(-1)
-        assert np.array_equal(lens_new, plens), "length diff"
+        assert np.array_equal(lens_new[ok], plens[ok]), "length diff"
         got = np.ascontiguousarray(np.asarray(out[0])).view(np.uint8)
-        mask = np.arange(got.shape[1])[None, :] < plens[:, None]
+        mask = (np.arange(got.shape[1])[None, :] < plens[:, None]) \
+            & ok[:, None]
         assert np.array_equal(np.where(mask, got, 0),
                               np.where(mask, packets, 0)), "bitstream diff"
         print(f"{tag}: {data.size / min(ts) / 1e9:.4f} GB/s", flush=True)

@@ -67,6 +67,24 @@ DECODE_HULL = True  # speculative low-window decode: chunks are first run
                     # tiles decode with half the table traffic; random
                     # tiles pay one discarded chunk (1/64 of the work).
 STREAMS = 2        # independent interleaved lane-slices per kernel
+PAIR_STEP = True   # two-symbol decode step (round 5; the algorithm-level
+                   # exit named by PROBES_r4's residual analysis).  EXACT,
+                   # not speculative: with the index-packed table
+                   # (row i = C[i] << 8 | i), symbol 2's search on the
+                   # STALE table (before symbol 1's suffix increment) is
+                   # made post-update-exact by folding the update into the
+                   # threshold's low byte —
+                   #   C'[i] <= u2  <=>  P[i] <= (u2 << 8) | sym1
+                   # (rows with C == u2 qualify iff i <= sym1, exactly the
+                   # rows the increment has not pushed past u2) — and the
+                   # true bounds need only closed-form fixups
+                   # low2 += (sym2 > sym1), high2 += (sym2 >= sym1).
+                   # Per pair this saves one whole table read-modify-write
+                   # (both symbols' suffix increments land in ONE merged
+                   # pass, 3 -> 2.5 table passes/symbol), shares one
+                   # 32-bit bit-extraction window (s1 + s2 <= 32 bits),
+                   # and does the carried-window advance once.  No miss
+                   # detection, no re-run: bit-exact by construction.
 FUSE_UPDATE = False  # fold the model update into the NEXT symbol's search
                     # traversal: the packed table row is C[i] << 8 | i and
                     # the update condition "bump every row i > sym" tests
@@ -158,10 +176,11 @@ UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (with 2
                    # symbol steps; swept 2/4/8/16 on-chip, 2 edges out 4)
 REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
 # symbols consuming at most REFILL_WORDS*2 words; the carried window's
-# +2-word lookahead must stay STRICTLY inside the 8-word ring (slot
-# (rb+8)&7 aliases word rb), so the furthest fetched word rb +
-# REFILL_WORDS*2 + 2 must be < rb + 8.
-assert REFILL_WORDS * 2 + 2 < 8
+# lookahead (+2 words per-symbol path, +3 under PAIR_STEP's once-per-pair
+# advance) must stay STRICTLY inside the 8-word ring (slot (rb+8)&7
+# aliases word rb), so the furthest fetched word rb + REFILL_WORDS*2 + 3
+# must be < rb + 8.
+assert REFILL_WORDS * 2 + 3 < 8
 WIN_PAD = 7        # refill hull-window padding rows (see refill_win);
                    # swept 39/23/15/7 on-chip: with the mid-tier window
                    # as the spillover, the tightest fast window wins
@@ -192,7 +211,7 @@ def _shr_u(x, n):
 
 def _decode_kernel(sizes_ref, in_ref, *refs,
                    tile, steps_per_chunk, n_chunks, out_groups, unroll,
-                   streams, debug, fuse_k, stacked, hull):
+                   streams, debug, fuse_k, stacked, hull, pair):
     if debug:
         out_ref, flag_ref, st, *scratch = refs
     else:
@@ -647,6 +666,158 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             code = jnp.where(active, code2, code)
         return (lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc)
 
+    def pair_step(si, sizes_s, t, carry, mode):
+        """Two-symbol decode step (PAIR_STEP — see the knob comment).
+
+        Decodes symbols t and t+1 in one pass over the table value read:
+        symbol 1 searches normally; symbol 2 searches the SAME (stale)
+        read with the post-update-exact threshold (u2 << 8) | sym1 and
+        closed-form +0/1 bound fixups; both suffix increments land in one
+        merged read-modify-write.  The bit windows are shared: the pair
+        consumes s1 + s2 <= 32 bits, exactly one 32-bit extraction window,
+        and the carried two-word window advances once (lookahead reaches
+        widx + 3 — covered by the REFILL_WORDS assert).  Reference analog:
+        the per-symbol loop being restructured, src/gpuar_kernel.cu
+        :727-763 (symbol search) and :787-836 (renorm).
+        """
+        lower, upper, code, bitpos, w0, w1, flag, c128, miss, wacc = carry
+        active1 = t < sizes_s
+        active2 = (t + 1) < sizes_s
+        cum1 = 256 + t
+        cum1_s = jnp.int32(cum1)
+        cum2_s = jnp.int32(cum1 + 1)
+
+        # ---- symbol 1: fused search on the committed table ----
+        span1 = upper - lower + 1
+        u1 = _exact_div((code - lower + 1) * cum1 - 1, span1)
+        up1 = (u1 << 8) | 255
+        if mode == "win":
+            miss = miss | (active1 & (u1 >= c128))
+            sent1 = (c128 << 8) | 128
+            c128_stale = c128        # the stale table's C[128], packed low
+            c128 = c128 + active1.astype(i32)
+            Cs = Cs_all[si][0:128, :]
+        else:
+            sent1 = (cum1_s << 8) | 255
+            Cs = Cs_all[si][:]
+        packed1 = jnp.max(jnp.where(Cs <= up1, Cs, -1),
+                          axis=0, keepdims=True)
+        high1 = _shr_u(jnp.min(jnp.where(Cs > up1, Cs, sent1),
+                               axis=0, keepdims=True), 8)
+        low1 = _shr_u(packed1, 8)
+        sym1 = packed1 & 255
+
+        # ---- symbol 1: scalar half (narrow, renorm, bits) ----
+        q = _exact_div(jnp.concatenate([low1 * span1, high1 * span1],
+                                       axis=0), cum1_s)
+        lo2 = (lower + q[0:1, :]) & U16
+        up2 = (lower + q[1:2, :] - 1) & U16
+        if debug:
+            flag = flag | (active1 & ((u1 >= cum1)
+                                      | (u1 < 0))).astype(i32)
+            flag = flag | (active1 & (lo2 > up2)).astype(i32)
+        m1 = _clz16(lo2 ^ up2)
+        la = (lo2 << m1) & U16
+        ua = ((up2 << m1) | ((1 << m1) - 1)) & U16
+        a = (la << 1) & U16
+        b = ((ua << 1) | 1) & U16
+        k1 = _clz16((~(a & ~b)) & U16)
+        lo3 = (la << k1) & 0x7FFF
+        up3 = (((ua << k1) | ((1 << k1) - 1)) | 0x8000) & U16
+        s1 = jnp.where(active1, m1 + k1, 0)
+        # One 32-bit window serves the whole pair: active lanes consume
+        # m + k <= 16 bits per symbol, so s1 + s2 <= 32 fits exactly.
+        boff = bitpos & 31
+        win = (w0 << boff) | jnp.where(
+            boff > 0, _shr_u(w1, (32 - boff) & 31), 0
+        )
+        bits1 = jnp.where(s1 > 0, _shr_u(win, (32 - s1) & 31), 0)
+        code2 = (((code << s1) | bits1)
+                 ^ jnp.where(k1 >= 1, 0x8000, 0)) & U16
+        if not FREE_RUN or debug:
+            lo3 = jnp.where(active1, lo3, lower)
+            up3 = jnp.where(active1, up3, upper)
+            code2 = jnp.where(active1, code2, code)
+
+        # ---- symbol 2: post-update-exact search on the STALE read ----
+        span2 = up3 - lo3 + 1
+        u2 = _exact_div((code2 - lo3 + 1) * (cum1 + 1) - 1, span2)
+        up2p = (u2 << 8) | sym1
+        if mode == "win":
+            miss = miss | (active2 & (u2 >= c128))
+            sent2 = (c128_stale << 8) | 128
+            c128 = c128 + active2.astype(i32)
+        else:
+            sent2 = sent1          # stale C[256] = cum1, same packed form
+        packed2 = jnp.max(jnp.where(Cs <= up2p, Cs, -1),
+                          axis=0, keepdims=True)
+        sym2 = packed2 & 255
+        # True bounds = stale values + the rows symbol 1's increment moved:
+        # C'[sym2] = C[sym2] + (sym2 > sym1), C'[sym2+1] = C[sym2+1] +
+        # (sym2+1 > sym1).  (active2 implies active1, so the increment is
+        # real on every lane whose result is kept.)
+        low2 = _shr_u(packed2, 8) + (sym2 > sym1).astype(i32)
+        high2 = _shr_u(jnp.min(jnp.where(Cs > up2p, Cs, sent2),
+                               axis=0, keepdims=True), 8) \
+            + (sym2 >= sym1).astype(i32)
+
+        # ---- merged update: both suffix increments, one pass ----
+        big = jnp.int32(0x7FFFFFFF)
+        up1e = jnp.where(active1, up1, big)
+        up2e = jnp.where(active2, up2p, big)
+        upd = ((Cs > up1e).astype(i32) + (Cs > up2e).astype(i32)) << 8
+        if mode == "win":
+            Cs_all[si][0:128, :] = Cs + upd
+        else:
+            Cs_all[si][:] = Cs + upd
+
+        # ---- symbol 2: scalar half ----
+        q2 = _exact_div(jnp.concatenate([low2 * span2, high2 * span2],
+                                        axis=0), cum2_s)
+        lo2b = (lo3 + q2[0:1, :]) & U16
+        up2b = (lo3 + q2[1:2, :] - 1) & U16
+        if debug:
+            flag = flag | (active2 & ((u2 >= cum1 + 1)
+                                      | (u2 < 0))).astype(i32)
+            flag = flag | (active2 & (lo2b > up2b)).astype(i32)
+        m2 = _clz16(lo2b ^ up2b)
+        la2 = (lo2b << m2) & U16
+        ua2 = ((up2b << m2) | ((1 << m2) - 1)) & U16
+        a2 = (la2 << 1) & U16
+        b2 = ((ua2 << 1) | 1) & U16
+        k2 = _clz16((~(a2 & ~b2)) & U16)
+        lo4 = (la2 << k2) & 0x7FFF
+        up4 = (((ua2 << k2) | ((1 << k2) - 1)) | 0x8000) & U16
+        s2 = jnp.where(active2, m2 + k2, 0)
+        win2 = win << (s1 & 31)   # & 31 bounds FREE_RUN garbage lanes only
+        bits2 = jnp.where(s2 > 0, _shr_u(win2, (32 - s2) & 31), 0)
+        code3 = (((code2 << s2) | bits2)
+                 ^ jnp.where(k2 >= 1, 0x8000, 0)) & U16
+
+        # ---- carried-window advance, once per pair (0/1/2 words) ----
+        widx = bitpos >> 5
+        bitpos = bitpos + s1 + s2
+        adv = (bitpos >> 5) - widx
+        ring = ring_read(si)
+        nxtA = jnp.sum(ring * (iota8 == ((widx + 2) & 7)).astype(i32),
+                       axis=0, keepdims=True)
+        nxtB = jnp.sum(ring * (iota8 == ((widx + 3) & 7)).astype(i32),
+                       axis=0, keepdims=True)
+        w0 = jnp.where(adv == 0, w0, jnp.where(adv == 1, w1, nxtA))
+        w1 = jnp.where(adv == 0, w1, jnp.where(adv == 1, nxtA, nxtB))
+
+        wacc = wacc | ((jnp.where(active1, sym1, 0)
+                        | (jnp.where(active2, sym2, 0) << 8))
+                       << ((t & 3) * 8))
+        if FREE_RUN and not debug:
+            lower, upper, code = lo4, up4, code3
+        else:
+            lower = jnp.where(active2, lo4, lo3)
+            upper = jnp.where(active2, up4, up3)
+            code = jnp.where(active2, code3, code2)
+        return (lower, upper, code, bitpos, w0, w1, flag, c128, miss,
+                wacc)
+
     sizes_s = [raw_sizes[:, lo: lo + w] for lo in los]
 
     def step(it, carries, mode):
@@ -672,10 +843,15 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                 carries[s] = carries[s][:9] + (zeros,)
             # Phase layout per symbol position (PHASE_SPLIT: all streams'
             # table searches, then all scalar halves — see search_step;
-            # otherwise each stream's full step in turn).
-            for j in range(4):
+            # otherwise each stream's full step in turn).  PAIR_STEP
+            # walks the word in two-symbol steps instead.
+            for j in ((0, 2) if pair else range(4)):
                 t = t_chunk * steps_per_chunk + wt * 4 + j
-                if XDIV and streams > 1 and not ABLATE_SCALAR:
+                if pair:
+                    for s in range(streams):
+                        carries[s] = pair_step(s, sizes_s[s], t,
+                                               carries[s], mode)
+                elif XDIV and streams > 1 and not ABLATE_SCALAR:
                     # Cross-stream paired div: all table searches, then
                     # ONE [2*S, w] exact-div for every stream's bounds,
                     # then the per-stream scalar chains with their
@@ -1077,6 +1253,12 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
     stacked = (STACK_SCALAR and streams > 1
                and not (DUAL_TABLE or PAIR14 or FUSE_UPDATE or PHASE_SPLIT
                         or ABLATE_SCALAR))
+    # PAIR_STEP: default-config-only fast path (the probe knobs keep the
+    # per-symbol layout; the floor ablations measure the old op stream).
+    pair = (PAIR_STEP and not stacked
+            and not (DUAL_TABLE or PAIR14 or FUSE_UPDATE or PHASE_SPLIT
+                     or XDIV or STACK_SCALAR or OFFSET_STATE
+                     or ABLATE_SCALAR))
 
     kernel = functools.partial(
         _decode_kernel,
@@ -1092,6 +1274,7 @@ def _decode_big2d(big, sizes, *, tile, packet_size, out_groups,
         fuse_k=_fuse_k(1 if interpret else UNROLL_WORDS),
         stacked=stacked,
         hull=hull,
+        pair=pair,
     )
     out_specs = pl.BlockSpec((chunk_words, tile), lambda i, t: (t, i),
                              memory_space=pltpu.VMEM)

@@ -81,6 +81,18 @@ DUMP_WORDS = 4     # input words between ring dumps (r4 sweep under
 STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # latency-bound (unroll=8 already hides the chain);
                    # swept 1/2/4 on-chip, 1 wins
+PAIR_STEP = True   # two-symbol encode step (round 5, the decode PAIR_STEP
+                   # trick where it is even simpler: both symbols are known
+                   # upfront, so symbol 2's bounds come EXACTLY from the
+                   # stale pair-packed read plus closed-form fixups
+                   # low2 += (sym2 > sym1), high2 += (sym2 >= sym1), and
+                   # both suffix increments land in ONE merged table
+                   # read-modify-write (2 -> 1.5 passes/symbol).  The
+                   # emission appends merge 4 -> 3 per pair: symbol 1's
+                   # pattern rides the same append as symbol 2's
+                   # settled+run bits (when symbol 1 emitted, the run is
+                   # its k1, so npat1 + 1 + k1 = m1 + k1 <= 16 bits; when
+                   # it did not, npat1 = 0 — either way <= 31 bits).
 WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
                    # swept 39/15 on-chip: 15 wins
 PAIRED_DIV = True  # stack the two exact-divs by cum (lo2/up2 bounds)
@@ -151,6 +163,9 @@ def _append(acc, nbuf, val, n):
 def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                    *scratch, tile, steps_per_chunk, n_chunks, out_groups,
                    unroll, streams, dump_words):
+    # PAIR_STEP: default-config fast path only (the probe knobs and the
+    # floor ablation keep the per-symbol layout).
+    pair = PAIR_STEP and not (ABLATE_SCALAR or OFFSET_STATE)
     t_chunk = pl.program_id(1)
     i32 = jnp.int32
     w = tile // streams  # lanes per stream slice
@@ -383,6 +398,114 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
         upper = jnp.where(active, up3, upper)
         return (lower, upper, under2, acc, nbuf, wcur, wbase, err)
 
+    def renorm_descr(lower, upper, low, high, cum_s, under, active):
+        """One symbol's narrow+renorm: returns the new (lower, upper,
+        under) and the emission descriptor (has, b0, u_drain, pat, npat)
+        — the settled bit, its pending underflow run, and the residual
+        pattern bits — without appending them (PAIR_STEP merges the
+        appends across the pair)."""
+        span = upper - lower + 1
+        if PAIRED_DIV:
+            num = jnp.concatenate([low * span, high * span], axis=0)
+            q = _exact_div(num, cum_s)
+            lo2 = (lower + q[0:1, :]) & U16
+            up2 = (lower + q[1:2, :] - 1) & U16
+        else:
+            lo2 = (lower + _exact_div(low * span, cum_s)) & U16
+            up2 = (lower + _exact_div(high * span, cum_s) - 1) & U16
+        m = _clz16(lo2 ^ up2)
+        la = (lo2 << m) & U16
+        ua = ((up2 << m) | ((1 << m) - 1)) & U16
+        a = (la << 1) & U16
+        b = ((ua << 1) | 1) & U16
+        k = _clz16((~(a & ~b)) & U16)
+        lo3 = (la << k) & 0x7FFF
+        up3 = (((ua << k) | ((1 << k) - 1)) | 0x8000) & U16
+        topm = (up2 >> (16 - m)) & ((1 << m) - 1)
+        has = (m > 0) & active
+        m_e = jnp.where(has, m, 0)
+        b0 = jnp.where(has, topm >> jnp.maximum(m - 1, 0), 0)
+        u_drain = jnp.where(has, under, 0)
+        npat = jnp.maximum(m_e - 1, 0)
+        pat = jnp.where(has, topm & ((1 << npat) - 1), 0)
+        under2 = jnp.where(has, 0, under) + jnp.where(active, k, 0)
+        lower2 = jnp.where(active, lo3, lower)
+        upper2 = jnp.where(active, up3, upper)
+        return lower2, upper2, under2, (has, b0, u_drain, pat, npat)
+
+    def sym_pair_step(si, t, sym1, sym2, active1, active2, carry, window):
+        """Two-symbol encode step (PAIR_STEP — see the knob comment).
+
+        Both range extractions read the SAME stale table value: symbol 2's
+        pair-packed row needs only the closed-form fixups low2 += (sym2 >
+        sym1), high2 += (sym2 >= sym1) (active2 implies active1, so the
+        increment is real on every lane whose result is kept), and both
+        suffix increments land in one merged read-modify-write.  The four
+        per-pair emission appends become three: symbol 1's pattern bits
+        ride the same append as symbol 2's settled bit + underflow run
+        (<= m1 + k1 <= 16 bits when symbol 1 emitted, <= 1 + MAX_RUN_BITS
+        otherwise).  Reference analog: the per-symbol loop being
+        restructured, src/gpuar_kernel.cu:256-299 (range math) and
+        :321-388 (renorm/emit).
+        """
+        lower, upper, under, acc, nbuf, wcur, wbase, err = carry
+        C = Cs_all[si]
+        cum1_s = jnp.int32(256 + t)
+        cum2_s = jnp.int32(256 + t + 1)
+        sym1A = jnp.where(active1, sym1, 256)
+        sym2A = jnp.where(active2, sym2, 256)
+        if window is None:
+            iot = iota256
+            Cv = C[:]
+        else:
+            slo, iot = window
+            Cv = C[pl.ds(slo, SWIN), :]
+        packed1 = jnp.sum(jnp.where(iot == sym1, Cv, 0),
+                          axis=0, keepdims=True)
+        packed2 = jnp.sum(jnp.where(iot == sym2, Cv, 0),
+                          axis=0, keepdims=True)
+        # Merged suffix increments (both packed halves, both symbols).
+        upd = (jnp.where(iot > sym1A, 0x10001,
+                         jnp.where(iot == sym1A, 0x10000, 0))
+               + jnp.where(iot > sym2A, 0x10001,
+                           jnp.where(iot == sym2A, 0x10000, 0)))
+        if window is None:
+            C[:] = Cv + upd
+        else:
+            C[pl.ds(slo, SWIN), :] = Cv + upd
+        low1 = packed1 & U16
+        high1 = _shr8(packed1, 16)
+        low2 = (packed2 & U16) + (sym2 > sym1).astype(jnp.int32)
+        high2 = _shr8(packed2, 16) + (sym2 >= sym1).astype(jnp.int32)
+
+        lower, upper, under, d1 = renorm_descr(
+            lower, upper, low1, high1, cum1_s, under, active1)
+        lower, upper, under, d2 = renorm_descr(
+            lower, upper, low2, high2, cum2_s, under, active2)
+        has1, b0_1, u1d, pat1, npat1 = d1
+        has2, b0_2, u2d, pat2, npat2 = d2
+
+        # --- merged appends: [b1 + run1] | [pat1 + b2 + run2] | [pat2] ---
+        err = err | (u1d > MAX_RUN_BITS) | (u2d > MAX_RUN_BITS)
+        u1c = jnp.minimum(u1d, MAX_RUN_BITS)
+        u2c = jnp.minimum(u2d, MAX_RUN_BITS)
+        rv1 = jnp.where(has1 & (b0_1 == 0), (1 << u1c) - 1, 0)
+        rv2 = jnp.where(has2 & (b0_2 == 0), (1 << u2c) - 1, 0)
+        acc, nbuf, word, f = _append(acc, nbuf, (b0_1 << u1c) | rv1,
+                                     has1.astype(jnp.int32) + u1c)
+        ring_write(si, word, wcur, f)
+        wcur = wcur + f
+        tail2 = has2.astype(jnp.int32) + u2c
+        acc, nbuf, word, f = _append(
+            acc, nbuf, (pat1 << tail2) | (b0_2 << u2c) | rv2,
+            npat1 + tail2)
+        ring_write(si, word, wcur, f)
+        wcur = wcur + f
+        acc, nbuf, word, f = _append(acc, nbuf, pat2, npat2)
+        ring_write(si, word, wcur, f)
+        wcur = wcur + f
+        return (lower, upper, under, acc, nbuf, wcur, wbase, err)
+
     def step(it, carries, window):
         """UNROLL_WORDS words (4 symbols each) per scalar-loop iteration:
         the loop carries a measured ~470 ns/iteration fixed cost
@@ -393,13 +516,28 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
         for wi in range(unroll):
             wt = it * unroll + wi
             w_ins = [in_ref[pl.ds(wt, 1), lo: lo + w] for lo in los]
-            for j in range(4):
-                t = t_chunk * steps_per_chunk + wt * 4 + j
-                for si in range(streams):
-                    active = t < sizes_s[si]
-                    sym = jnp.where(active, (w_ins[si] >> (j * 8)) & 0xFF, 0)
-                    carries[si] = sym_step(si, t, sym, active, carries[si],
-                                           window)
+            if pair:
+                for j in (0, 2):
+                    t = t_chunk * steps_per_chunk + wt * 4 + j
+                    for si in range(streams):
+                        active1 = t < sizes_s[si]
+                        active2 = (t + 1) < sizes_s[si]
+                        sym1 = jnp.where(
+                            active1, (w_ins[si] >> (j * 8)) & 0xFF, 0)
+                        sym2 = jnp.where(
+                            active2, (w_ins[si] >> (j * 8 + 8)) & 0xFF, 0)
+                        carries[si] = sym_pair_step(
+                            si, t, sym1, sym2, active1, active2,
+                            carries[si], window)
+            else:
+                for j in range(4):
+                    t = t_chunk * steps_per_chunk + wt * 4 + j
+                    for si in range(streams):
+                        active = t < sizes_s[si]
+                        sym = jnp.where(active,
+                                        (w_ins[si] >> (j * 8)) & 0xFF, 0)
+                        carries[si] = sym_step(si, t, sym, active,
+                                               carries[si], window)
 
             if ABLATE_SCALAR or wi % dump_words != dump_words - 1:
                 continue
