@@ -86,6 +86,27 @@ def test_compacted_body_path_matches_stride_path(rng):
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == data[i, : sizes[i]].tobytes()
 
+    # The reader-built blob path (round 5): _PacketReader.read_batch_blob
+    # assembles the row-aligned upload blob straight from the framed
+    # stream — no fixed-stride batch, no splice/expand host passes — and
+    # decode_blob_async must decode it identically.
+    import io
+
+    from gpuar_tpu.pipeline import _PacketReader
+
+    reader = _PacketReader(io.BytesIO(expected))
+    batch = reader.read_batch_blob(n + 5, codec.row_words * 4, 64)
+    assert reader.read_batch_blob(n + 5, codec.row_words * 4, 64) is None
+    blob, roff, comp_len, raw2 = batch
+    assert np.array_equal(comp_len, lengths)
+    assert np.array_equal(raw2, sizes)
+    assert blob.size % (64 * codec.row_words * 4) == 0
+    out2 = codec.decode_body_wait(
+        codec.decode_blob_async(blob, roff, comp_len, raw2))
+    for i in range(n):
+        assert out2[i, : sizes[i]].tobytes() == \
+            data[i, : sizes[i]].tobytes(), f"blob lane {i}"
+
 
 def test_compacted_body_fixup_rare_path(rng):
     """An error-flagged lane (adversarial underflow run past the kernel
