@@ -22,7 +22,8 @@ from gpuar_tpu.parallel.mesh import MeshCodec, make_mesh
 class TPUCompressor(Compressor):
     def __init__(self, device_index: int | None = None,
                  super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS,
-                 tile: int = 1024, debug: bool = False):
+                 tile: int = 1024, debug: bool = False,
+                 packet_size: int | None = None):
         # Local devices only: in a multi-host run each process codes its own
         # file range on its own chips (DistributedCompressor handles the
         # cross-host splice); a global-device mesh would be unaddressable.
@@ -37,7 +38,11 @@ class TPUCompressor(Compressor):
         # reference's -D_DEBUG coder checks + bitstream-overrun detection)
         # — corrupt-but-well-framed packets raise instead of decoding to
         # silent garbage.
-        self.codec = MeshCodec(make_mesh(devices), tile=tile, debug=debug)
+        # packet_size: production default (8192, config.py); tests pass a
+        # tiny geometry so the interpret-mode kernels stay fast.
+        kw = {} if packet_size is None else {"packet_size": packet_size}
+        self.codec = MeshCodec(make_mesh(devices), tile=tile, debug=debug,
+                               **kw)
         # Round the super-batch to the mesh lane quantum.
         q = self.codec.lane_quantum
         super_batch_packets = max(q, super_batch_packets // q * q)
