@@ -762,10 +762,17 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             + (sym2 >= sym1).astype(i32)
 
         # ---- merged update: both suffix increments, one pass ----
+        # Written as ONE nested-where traversal over sorted thresholds
+        # (rows above both get +2<<8, rows between +1<<8): summing two
+        # separate compare masks materialises each as its own full-table
+        # pass (the round-3 FUSE_UPDATE lesson; first-cut A/B measured
+        # that form -13%).  Inactive symbols ride the sentinel threshold.
         big = jnp.int32(0x7FFFFFFF)
         up1e = jnp.where(active1, up1, big)
         up2e = jnp.where(active2, up2p, big)
-        upd = ((Cs > up1e).astype(i32) + (Cs > up2e).astype(i32)) << 8
+        hi_t = jnp.maximum(up1e, up2e)
+        lo_t = jnp.minimum(up1e, up2e)
+        upd = jnp.where(Cs > hi_t, 0x200, jnp.where(Cs > lo_t, 0x100, 0))
         if mode == "win":
             Cs_all[si][0:128, :] = Cs + upd
         else:

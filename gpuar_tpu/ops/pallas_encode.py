@@ -464,11 +464,20 @@ def _encode_kernel(sizes_ref, in_ref, out_ref, len_ref, err_ref, st,
                           axis=0, keepdims=True)
         packed2 = jnp.sum(jnp.where(iot == sym2, Cv, 0),
                           axis=0, keepdims=True)
-        # Merged suffix increments (both packed halves, both symbols).
-        upd = (jnp.where(iot > sym1A, 0x10001,
-                         jnp.where(iot == sym1A, 0x10000, 0))
-               + jnp.where(iot > sym2A, 0x10001,
-                           jnp.where(iot == sym2A, 0x10000, 0)))
+        # Merged suffix increments (both packed halves, both symbols) as
+        # ONE nested-where traversal over the sorted symbol pair — summing
+        # two separate masked passes materialises each as its own
+        # full-table traversal (round-3 FUSE_UPDATE lesson; the summed
+        # form measured -10% in the first-cut A/B).  Inactive symbols ride
+        # the 256 sentinel: iota never reaches it, so neither arm fires.
+        a_s = jnp.minimum(sym1A, sym2A)
+        b_s = jnp.maximum(sym1A, sym2A)
+        eqb = jnp.where(b_s > a_s, 0x20001, 0x20000)
+        upd = jnp.where(
+            iot > b_s, 0x20002,
+            jnp.where(iot == b_s, eqb,
+                      jnp.where(iot > a_s, 0x10001,
+                                jnp.where(iot == a_s, 0x10000, 0))))
         if window is None:
             C[:] = Cv + upd
         else:
