@@ -189,6 +189,13 @@ def main():
     ).reshape(n_packets, psize)
     enc_p, dec_p, ratio_p = _measure(pdata, sizes, tile, psize, og)
 
+    # Third corpus: pinned high-byte UTF-8-like text — the hull paths'
+    # worst case (VERDICT r4 next #7); full-range kernels, no fast paths.
+    udata = np.frombuffer(
+        enwik_proxy.generate_utf8(n_packets * psize), np.uint8
+    ).reshape(n_packets, psize)
+    enc_u, dec_u, ratio_u = _measure(udata, sizes, tile, psize, og)
+
     total = n_packets * psize
     gbps = 1.0 / (1.0 / enc_r + 1.0 / dec_r)
     print(json.dumps({
@@ -207,6 +214,13 @@ def main():
                 "combined_gbps": round(
                     1.0 / (1.0 / enc_p + 1.0 / dec_p), 4),
                 "ratio": round(ratio_p, 6),
+            },
+            "utf8_text": {
+                "encode_gbps": round(enc_u, 4),
+                "decode_gbps": round(dec_u, 4),
+                "combined_gbps": round(
+                    1.0 / (1.0 / enc_u + 1.0 / dec_u), 4),
+                "ratio": round(ratio_u, 6),
             },
         },
     }))

@@ -94,6 +94,48 @@ def generate(size: int) -> bytes:
     return bytes(out)
 
 
+UTF8_SEED = 0x0E71C9
+# sha256 of the canonical 1 MiB prefix, pinned in tests/test_enwik_proxy.py
+# (measured order-0 entropy 3.95 bits/byte, 80% high bytes).
+SHA256_UTF8_1M = \
+    "c718bb160b1f01da98c47e737ed8c98fe9504f79d76ebee2c95f8c7296a671d8"
+
+
+def generate_utf8(size: int) -> bytes:
+    """UTF-8-like high-byte text (VERDICT r4 next #7): Cyrillic-script
+    zipfian words (2-byte UTF-8 sequences, lead bytes 0xD0/0xD1) mixed
+    with ASCII separators and light markup.  This is the hull paths'
+    WORST case by construction: every chunk carries both high and low
+    bytes, so encode's [0,128)-row symbol window never holds and decode's
+    speculative low-window bet misses — the full-range paths get a
+    pinned, reproducible benchmark row of their own.
+    """
+    rng = np.random.default_rng(UTF8_SEED)
+    letters = [chr(c).encode("utf-8") for c in range(0x430, 0x450)]
+    n_vocab = 4096
+    lens = 2 + (np.arange(n_vocab) * 5) // n_vocab  # short = frequent
+    idx = rng.integers(0, len(letters), size=(n_vocab, 8))
+    words = [b"".join(letters[j] for j in idx[i, : lens[i]])
+             for i in range(n_vocab)]
+    probs = _zipf_probs(n_vocab)
+    out = bytearray()
+    while len(out) < size:
+        n_words = int(rng.integers(30, 120))
+        toks = []
+        for k, i in enumerate(rng.choice(n_vocab, size=n_words, p=probs)):
+            word = words[i]
+            r = int(rng.integers(0, 48))
+            if r == 0:
+                word = b"[[" + word + b"]]"
+            elif r == 1 and k:
+                word = word + b","
+            toks.append(word)
+        out += b" ".join(toks) + b". "
+        if rng.integers(0, 4) == 0:
+            out += b"\n== " + words[int(rng.integers(0, 64))] + b" ==\n"
+    return bytes(out[:size])
+
+
 def sha256_of(size: int) -> str:
     return hashlib.sha256(generate(size)).hexdigest()
 

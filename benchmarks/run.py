@@ -69,6 +69,10 @@ def corpora(mib: int):
     from benchmarks import enwik_proxy
     yield "enwik-proxy", enwik_proxy.generate(size)
     yield "text", _text_corpus(size)
+    # High-byte UTF-8-like text: the hull paths' worst case (mixed
+    # high/low bytes defeat both the encode symbol window and decode's
+    # low-window bet) — pinned like the enwik proxy (VERDICT r4 next #7).
+    yield "utf8-text", enwik_proxy.generate_utf8(size)
     yield "zeros", bytes(size)
 
 
