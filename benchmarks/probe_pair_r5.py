@@ -81,6 +81,10 @@ def main():
         g = time_decode(packets, sizes, data, tile=1024, reps=args.reps)
         print(f"{tag}: {g:.4f} GB/s", flush=True)
 
+    def dec3(tag):
+        g = time_decode(packets, sizes, data, tile=1536, reps=args.reps)
+        print(f"{tag}: {g:.4f} GB/s", flush=True)
+
     cfgs = {
         0: ("dec base ", lambda: (setattr(D, "PAIR_STEP", False),
                                   dec("dec[0] base  PAIR=off"))),
@@ -96,6 +100,16 @@ def main():
                                   time_enc("enc[5] base  PAIR=off (re-anchor)"))),
         6: ("dec pairA", lambda: (setattr(D, "PAIR_STEP", True),
                                   dec("dec[6] pair  PAIR=on  (re-run)"))),
+        # VERDICT r4 next #8: re-sweep streams under the pair kernels —
+        # the pair's table write lands later in the chain (after symbol
+        # 2's search), so extra independent chains may pay where they
+        # did not for the per-symbol layout (PROBES_r4 streams A/B/A).
+        7: ("dec pair s3", lambda: (setattr(D, "PAIR_STEP", True),
+                                    setattr(D, "STREAMS", 3),
+                                    dec3("dec[7] pair  streams=3 tile=1536"))),
+        8: ("dec base s3", lambda: (setattr(D, "PAIR_STEP", False),
+                                    setattr(D, "STREAMS", 3),
+                                    dec3("dec[8] base  streams=3 tile=1536"))),
     }
     only = [args.only] if args.only is not None else sorted(cfgs)
     for i in only:
