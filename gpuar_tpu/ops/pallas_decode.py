@@ -67,7 +67,7 @@ DECODE_HULL = True  # speculative low-window decode: chunks are first run
                     # tiles decode with half the table traffic; random
                     # tiles pay one discarded chunk (1/64 of the work).
 STREAMS = 2        # independent interleaved lane-slices per kernel
-PAIR_STEP = True   # two-symbol decode step (round 5; the algorithm-level
+PAIR_STEP = False  # two-symbol decode step (round 5; the algorithm-level
                    # exit named by PROBES_r4's residual analysis).  EXACT,
                    # not speculative: with the index-packed table
                    # (row i = C[i] << 8 | i), symbol 2's search on the
@@ -85,6 +85,13 @@ PAIR_STEP = True   # two-symbol decode step (round 5; the algorithm-level
                    # 32-bit bit-extraction window (s1 + s2 <= 32 bits),
                    # and does the carried-window advance once.  No miss
                    # detection, no re-run: bit-exact by construction.
+                   # MEASURED NEGATIVE, default off (PROBES_r5.md): random
+                   # 0.88-0.93 vs base 0.94 (streams=2), 0.94 vs 1.00
+                   # (streams=3), proxy/win-mode 1.24 vs 1.28 — the merged
+                   # pass saves ~0.5 of ~9 table stages/symbol while the
+                   # pair's LATE table write (after symbol 2's search)
+                   # serializes against the next pair's read.  Covered by
+                   # tests/test_pair_step.py either way.
 FUSE_UPDATE = False  # fold the model update into the NEXT symbol's search
                     # traversal: the packed table row is C[i] << 8 | i and
                     # the update condition "bump every row i > sym" tests

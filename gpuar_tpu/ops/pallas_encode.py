@@ -81,7 +81,7 @@ DUMP_WORDS = 4     # input words between ring dumps (r4 sweep under
 STREAMS = 1        # interleaved lane-slices: unlike decode, encode is NOT
                    # latency-bound (unroll=8 already hides the chain);
                    # swept 1/2/4 on-chip, 1 wins
-PAIR_STEP = True   # two-symbol encode step (round 5, the decode PAIR_STEP
+PAIR_STEP = False  # two-symbol encode step (round 5, the decode PAIR_STEP
                    # trick where it is even simpler: both symbols are known
                    # upfront, so symbol 2's bounds come EXACTLY from the
                    # stale pair-packed read plus closed-form fixups
@@ -93,6 +93,10 @@ PAIR_STEP = True   # two-symbol encode step (round 5, the decode PAIR_STEP
                    # settled+run bits (when symbol 1 emitted, the run is
                    # its k1, so npat1 + 1 + k1 = m1 + k1 <= 16 bits; when
                    # it did not, npat1 = 0 — either way <= 31 bits).
+                   # MEASURED NEGATIVE, default off (PROBES_r5.md): 1.21 /
+                   # 1.27 across the bracket vs base 1.24-1.26 — the
+                   # 4-compare nested merged update costs what the saved
+                   # write buys.  Covered by tests/test_pair_step.py.
 WIN_PAD = 15       # dump hull-window padding rows (see dump_win);
                    # swept 39/15 on-chip: 15 wins
 PAIRED_DIV = True  # stack the two exact-divs by cum (lo2/up2 bounds)
