@@ -38,7 +38,7 @@ def _measure(data, sizes, tile, psize, og):
         wd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(lens)  # warm / compile
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         pk32, lens, errs = pallas_encode._encode_call(
             wd, sz, tile=tile, packet_size=psize, out_groups=og)
@@ -62,7 +62,7 @@ def _measure(data, sizes, tile, psize, og):
         bd, sz, tile=tile, packet_size=psize, out_groups=og)
     np.asarray(out[0:1, 0:1])  # warm
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = pallas_decode._decode_call(
             bd, sz, tile=tile, packet_size=psize, out_groups=og)

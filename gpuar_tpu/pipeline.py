@@ -302,6 +302,13 @@ def _splice(packets: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(packets)
     if packets.shape[0] == 0:
         return np.empty(0, np.uint8)
+    if (packets.flags.c_contiguous and lengths[0] == packets.shape[1]
+            and np.all(lengths == lengths[0])):
+        # Every packet fills its stride (every decompress batch except
+        # the file tail): the concatenation is the buffer itself — a
+        # reshaped VIEW, not a whole-body memcpy on the drive loop's
+        # process path.
+        return packets.reshape(-1)
     return native.splice(packets, lengths)
 
 
