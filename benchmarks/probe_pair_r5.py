@@ -110,6 +110,11 @@ def main():
         8: ("dec base s3", lambda: (setattr(D, "PAIR_STEP", False),
                                     setattr(D, "STREAMS", 3),
                                     dec3("dec[8] base  streams=3 tile=1536"))),
+        # Split-write pair: baseline's pass count, but the write->read
+        # edge between the big VMEM passes is gone for odd symbols.
+        9: ("dec pairW", lambda: (setattr(D, "PAIR_STEP", True),
+                                  setattr(D, "PAIR_SPLITW", True),
+                                  dec("dec[9] pair  SPLITW"))),
     }
     only = [args.only] if args.only is not None else sorted(cfgs)
     for i in only:

@@ -92,6 +92,17 @@ PAIR_STEP = False  # two-symbol decode step (round 5; the algorithm-level
                    # pair's LATE table write (after symbol 2's search)
                    # serializes against the next pair's read.  Covered by
                    # tests/test_pair_step.py either way.
+PAIR_SPLITW = False  # PAIR_STEP variant probing WHERE the pair loses:
+                   # keep baseline's two update writes (write symbol 1's
+                   # increment right after its search) but still search
+                   # symbol 2 on the HELD stale value via the threshold
+                   # trick — so the write->read edge between the big
+                   # [rows, w] VMEM passes disappears for every odd
+                   # symbol while the pass count stays baseline's.  The
+                   # second update pass re-reads the table (a true
+                   # read-after-write keeps the first store live) and
+                   # bumps rows above the POST-update-1 packed row of
+                   # symbol 2.
 FUSE_UPDATE = False  # fold the model update into the NEXT symbol's search
                     # traversal: the packed table row is C[i] << 8 | i and
                     # the update condition "bump every row i > sym" tests
@@ -713,6 +724,16 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                                axis=0, keepdims=True), 8)
         low1 = _shr_u(packed1, 8)
         sym1 = packed1 & 255
+        if PAIR_SPLITW:
+            # Early write of symbol 1's increment: nothing downstream in
+            # this pair reads the table ref (symbol 2 searches the HELD
+            # stale value), so the write->read edge moves off the pair's
+            # serial chain entirely.
+            up1w = jnp.where(active1, up1, jnp.int32(0x7FFFFFFF))
+            if mode == "win":
+                Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up1w, 0x100, 0)
+            else:
+                Cs_all[si][:] = Cs + jnp.where(Cs > up1w, 0x100, 0)
 
         # ---- symbol 1: scalar half (narrow, renorm, bits) ----
         q = _exact_div(jnp.concatenate([low1 * span1, high1 * span1],
@@ -777,13 +798,29 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         big = jnp.int32(0x7FFFFFFF)
         up1e = jnp.where(active1, up1, big)
         up2e = jnp.where(active2, up2p, big)
-        hi_t = jnp.maximum(up1e, up2e)
-        lo_t = jnp.minimum(up1e, up2e)
-        upd = jnp.where(Cs > hi_t, 0x200, jnp.where(Cs > lo_t, 0x100, 0))
-        if mode == "win":
-            Cs_all[si][0:128, :] = Cs + upd
+        if PAIR_SPLITW:
+            # Split-write variant (see the knob): symbol 1's increment
+            # was already written right after its search; apply symbol
+            # 2's on a FRESH read.  i > sym2 on the post-update-1 table
+            # <=> P1[i] > P1[sym2] = stale packed2 + (fixup << 8).
+            thr2 = jnp.where(active2,
+                             packed2 + ((sym2 > sym1).astype(i32) << 8),
+                             big)
+            if mode == "win":
+                T1 = Cs_all[si][0:128, :]
+                Cs_all[si][0:128, :] = T1 + jnp.where(T1 > thr2, 0x100, 0)
+            else:
+                T1 = Cs_all[si][:]
+                Cs_all[si][:] = T1 + jnp.where(T1 > thr2, 0x100, 0)
         else:
-            Cs_all[si][:] = Cs + upd
+            hi_t = jnp.maximum(up1e, up2e)
+            lo_t = jnp.minimum(up1e, up2e)
+            upd = jnp.where(Cs > hi_t, 0x200,
+                            jnp.where(Cs > lo_t, 0x100, 0))
+            if mode == "win":
+                Cs_all[si][0:128, :] = Cs + upd
+            else:
+                Cs_all[si][:] = Cs + upd
 
         # ---- symbol 2: scalar half ----
         q2 = _exact_div(jnp.concatenate([low2 * span2, high2 * span2],

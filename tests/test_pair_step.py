@@ -39,8 +39,10 @@ def test_pair_encode_bitstreams_match_golden(rng):
             f"lane {i} (size {sizes[i]}) diverged"
 
 
-@pytest.mark.parametrize("streams,hull", [(1, True), (2, False)])
-def test_pair_decode_roundtrip(rng, streams, hull):
+@pytest.mark.parametrize("streams,hull,splitw",
+                         [(1, True, False), (2, False, False),
+                          (1, True, True), (1, False, True)])
+def test_pair_decode_roundtrip(rng, streams, hull, splitw):
     P = 256
     n = 256
     data, sizes = _mixed_corpus(rng, n, P)
@@ -49,14 +51,16 @@ def test_pair_decode_roundtrip(rng, streams, hull):
         enc = native.encode_packet(data[i, : sizes[i]].tobytes())
         packets[i, : len(enc)] = np.frombuffer(enc, np.uint8)
     D = pallas_decode
-    saved = (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS)
+    saved = (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS, D.PAIR_SPLITW)
     D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS = True, streams, True
+    D.PAIR_SPLITW = splitw
     try:
         out = D.decode_batch_pallas(
             packets, sizes, tile=256 if streams > 1 else 8,
             packet_size=P, interpret=True, hull=hull)
     finally:
-        D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS = saved
+        (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS,
+         D.PAIR_SPLITW) = saved
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"lane {i}"
