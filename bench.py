@@ -119,11 +119,13 @@ def _emit_unreachable(reason: str) -> None:
     # Newest snapshot by NUMERIC round index (lexicographic sort would
     # put r10 before r4), labeled with the round it actually came from —
     # a stale prior-round snapshot must not masquerade as this round's.
-    snaps = sorted(
-        glob.glob(os.path.join(root, "benchmarks",
-                               "bench_snapshot_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p))
-                          .group(1)))
+    def _round_of(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1  # oddly-named files sort first
+
+    snaps = [p for p in glob.glob(os.path.join(
+        root, "benchmarks", "bench_snapshot_r*.json")) if _round_of(p) >= 0]
+    snaps.sort(key=_round_of)
     if snaps:
         try:
             with open(snaps[-1]) as f:

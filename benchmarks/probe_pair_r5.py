@@ -117,12 +117,18 @@ def main():
                                   dec("dec[9] pair  SPLITW"))),
     }
     only = [args.only] if args.only is not None else sorted(cfgs)
+    defaults = (D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP)
     for i in only:
+        # Reset every knob a config may have left behind (cfg 7/8 set
+        # STREAMS=3; a later tile=1024 config would otherwise run a
+        # non-dividing stream count).
+        D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP = defaults
         try:
             cfgs[i][1]()
         except Exception as e:
             print(f"cfg[{i}] {cfgs[i][0]}: FAIL {type(e).__name__}: {e}",
                   flush=True)
+    D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP = defaults
 
 
 if __name__ == "__main__":

@@ -194,11 +194,11 @@ UNROLL_WORDS = 2   # words decoded per scalar-loop iteration (with 2
                    # symbol steps; swept 2/4/8/16 on-chip, 2 edges out 4)
 REFILL_WORDS = 2   # ring refill cadence: one refill serves REFILL_WORDS*4
 # symbols consuming at most REFILL_WORDS*2 words; the carried window's
-# lookahead (+2 words per-symbol path, +3 under PAIR_STEP's once-per-pair
-# advance) must stay STRICTLY inside the 8-word ring (slot (rb+8)&7
-# aliases word rb), so the furthest fetched word rb + REFILL_WORDS*2 + 3
-# must be < rb + 8.
-assert REFILL_WORDS * 2 + 3 < 8
+# +2-word lookahead (same bound for the per-symbol and PAIR_STEP paths —
+# a pair's word cursor advances at most 1, see pair_step) must stay
+# STRICTLY inside the 8-word ring (slot (rb+8)&7 aliases word rb), so
+# the furthest fetched word rb + REFILL_WORDS*2 + 2 must be < rb + 8.
+assert REFILL_WORDS * 2 + 2 < 8
 WIN_PAD = 7        # refill hull-window padding rows (see refill_win);
                    # swept 39/23/15/7 on-chip: with the mid-tier window
                    # as the spillover, the tightest fast window wins
@@ -845,17 +845,21 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         code3 = (((code2 << s2) | bits2)
                  ^ jnp.where(k2 >= 1, 0x8000, 0)) & U16
 
-        # ---- carried-window advance, once per pair (0/1/2 words) ----
+        # ---- carried-window advance, once per pair (0 or 1 words) ----
+        # adv <= 1 for active lanes: boff <= 31 and s1 + s2 <= 32 give
+        # (boff + s1 + s2) >> 5 <= 63 >> 5 = 1 — the pair consumes two
+        # symbols' bits but the WORD cursor still advances at most one,
+        # so one fetched word (widx + 2 lookahead, same as the
+        # per-symbol path) suffices.  (A first cut fetched widx + 3 for
+        # an unreachable adv == 2 arm — one dead [8, w] gather per pair.)
         widx = bitpos >> 5
         bitpos = bitpos + s1 + s2
-        adv = (bitpos >> 5) - widx
-        ring = ring_read(si)
-        nxtA = jnp.sum(ring * (iota8 == ((widx + 2) & 7)).astype(i32),
-                       axis=0, keepdims=True)
-        nxtB = jnp.sum(ring * (iota8 == ((widx + 3) & 7)).astype(i32),
-                       axis=0, keepdims=True)
-        w0 = jnp.where(adv == 0, w0, jnp.where(adv == 1, w1, nxtA))
-        w1 = jnp.where(adv == 0, w1, jnp.where(adv == 1, nxtA, nxtB))
+        adv = (bitpos >> 5) > widx
+        nxtA = jnp.sum(
+            ring_read(si) * (iota8 == ((widx + 2) & 7)).astype(i32),
+            axis=0, keepdims=True)
+        w0 = jnp.where(adv, w1, w0)
+        w1 = jnp.where(adv, nxtA, w1)
 
         wacc = wacc | ((jnp.where(active1, sym1, 0)
                         | (jnp.where(active2, sym2, 0) << 8))

@@ -344,8 +344,14 @@ class MeshCodec:
         n = data.shape[0]
         n_pad = self._pad_lanes(n)
         order, inv = _pad_perm(_entropy_order(data), n_pad)
-        words = np.zeros((n_pad, self.packet_size // 4), np.int32)
-        words[:n] = np.ascontiguousarray(data).view(np.int32)
+        if n == n_pad and data.flags.c_contiguous:
+            # Whole batches need no lane padding: reinterpret in place —
+            # with _packetize's reshape fast path a full compress batch
+            # reaches the device with ZERO host copies of the bulk.
+            words = data.view(np.int32)
+        else:
+            words = np.zeros((n_pad, self.packet_size // 4), np.int32)
+            words[:n] = np.ascontiguousarray(data).view(np.int32)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = sizes
         dev = self._enc_body(jnp.asarray(words), jnp.asarray(sz),
@@ -423,6 +429,22 @@ class MeshCodec:
         # density = comp_len * 8192 // raw_size ≈ ratio * 8192.
         return bool(np.median(density) < int(0.97 * 8192))
 
+    def _dispatch_sorted_decode(self, pk, raw_sizes, comp_len, density,
+                                n, n_pad):
+        """Shared decode dispatch tail: density sort/unsort permutations,
+        sizes padding, hull routing, and the debug unwrap — one place for
+        all three entry points (stride, body, blob)."""
+        order, inv = _pad_perm(
+            np.argsort(density, kind="stable").astype(np.int32), n_pad)
+        sz = np.zeros((1, n_pad), np.int32)
+        sz[0, :n] = raw_sizes
+        out = self._dec_sorted(self._route_hull(density))(
+            pk, jnp.asarray(sz), jnp.asarray(order), jnp.asarray(inv))
+        if self.debug:
+            out, flags = out
+            return (out, flags, np.asarray(comp_len, np.int32)), n
+        return out, n
+
     def decode_async(self, packets: np.ndarray, raw_sizes: np.ndarray):
         # Sort by compressed bits per raw byte (TRUE compressibility, free
         # from the packet headers) so each tile's cursor hull stays tight
@@ -435,19 +457,10 @@ class MeshCodec:
                     | (packets[:, 1].astype(np.int32) << 8))
         density = (comp_len.astype(np.int64) * 8192
                    // np.maximum(np.asarray(raw_sizes, np.int64), 1))
-        order, inv = _pad_perm(
-            np.argsort(density, kind="stable").astype(np.int32), n_pad)
         packets32, _ = pallas_decode.pad_packets32(
             packets, self.lane_quantum, self.out_words)
-        sz = np.zeros((1, n_pad), np.int32)
-        sz[0, :n] = raw_sizes
-        out = self._dec_sorted(self._route_hull(density))(
-            jnp.asarray(packets32), jnp.asarray(sz),
-            jnp.asarray(order), jnp.asarray(inv))
-        if self.debug:
-            out, flags = out
-            return (out, flags, comp_len), n
-        return out, n
+        return self._dispatch_sorted_decode(
+            jnp.asarray(packets32), raw_sizes, comp_len, density, n, n_pad)
 
     def decode_wait(self, handle) -> np.ndarray:
         """Materialise a decode_async handle.
@@ -487,8 +500,6 @@ class MeshCodec:
                     | (packets[:, 1].astype(np.int32) << 8))
         density = (comp_len.astype(np.int64) * 8192
                    // np.maximum(np.asarray(raw_sizes, np.int64), 1))
-        order, inv = _pad_perm(
-            np.argsort(density, kind="stable").astype(np.int32), n_pad)
         rcnt = (comp_len + R * 4 - 1) // (R * 4)
         roff = np.zeros(n_pad, np.int32)
         np.cumsum(rcnt[:-1], out=roff[1:n])
@@ -498,17 +509,10 @@ class MeshCodec:
         blob = native.expand_at(
             np.frombuffer(body, np.uint8),
             roff[:n].astype(np.int64) * (R * 4), comp_len, kb * R * 4)
-        sz = np.zeros((1, n_pad), np.int32)
-        sz[0, :n] = raw_sizes
         pk = self._expand(jnp.asarray(blob.view(np.int32).reshape(kb, R)),
                           jnp.asarray(roff))
-        out = self._dec_sorted(self._route_hull(density))(
-            pk, jnp.asarray(sz),
-            jnp.asarray(order), jnp.asarray(inv))
-        if self.debug:
-            out, flags = out
-            return (out, flags, comp_len), n
-        return out, n
+        return self._dispatch_sorted_decode(
+            pk, raw_sizes, comp_len, density, n, n_pad)
 
     def decode_blob_async(self, blob: np.ndarray, roff: np.ndarray,
                           comp_len: np.ndarray, raw_sizes: np.ndarray):
@@ -527,21 +531,12 @@ class MeshCodec:
         R = self.row_words
         density = (comp_len.astype(np.int64) * 8192
                    // np.maximum(np.asarray(raw_sizes, np.int64), 1))
-        order, inv = _pad_perm(
-            np.argsort(density, kind="stable").astype(np.int32), n_pad)
         roff_pad = np.zeros(n_pad, np.int32)
         roff_pad[:n] = roff
-        sz = np.zeros((1, n_pad), np.int32)
-        sz[0, :n] = raw_sizes
         pk = self._expand(jnp.asarray(blob.view(np.int32).reshape(-1, R)),
                           jnp.asarray(roff_pad))
-        out = self._dec_sorted(self._route_hull(density))(
-            pk, jnp.asarray(sz),
-            jnp.asarray(order), jnp.asarray(inv))
-        if self.debug:
-            out, flags = out
-            return (out, flags, comp_len.astype(np.int32)), n
-        return out, n
+        return self._dispatch_sorted_decode(
+            pk, raw_sizes, comp_len, density, n, n_pad)
 
     def decode_body_wait(self, handle) -> np.ndarray:
         return self.decode_wait(handle)

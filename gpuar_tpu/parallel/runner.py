@@ -43,6 +43,7 @@ class TPUCompressor(Compressor):
         kw = {} if packet_size is None else {"packet_size": packet_size}
         self.codec = MeshCodec(make_mesh(devices), tile=tile, debug=debug,
                                **kw)
+        self.packet_size = self.codec.packet_size
         # Round the super-batch to the mesh lane quantum.
         q = self.codec.lane_quantum
         super_batch_packets = max(q, super_batch_packets // q * q)
@@ -53,9 +54,14 @@ class TPUCompressor(Compressor):
         n = max(-(-raw.size // psize), 1) if raw.size else 0
         if n == 0:
             return None, None
+        sizes = np.full(n, psize, np.int32)
+        if raw.size == n * psize and raw.flags.c_contiguous:
+            # Whole batches (every compress batch but the file tail) are
+            # already packet-aligned: reshape the read buffer in place
+            # instead of a whole-batch memcpy on the submit path.
+            return raw.reshape(n, psize), sizes
         data = np.zeros((n, psize), np.uint8)
         data.reshape(-1)[: raw.size] = raw
-        sizes = np.full(n, psize, np.int32)
         sizes[-1] = raw.size - (n - 1) * psize
         return data, sizes
 

@@ -38,6 +38,12 @@ DEFAULT_SUPER_BATCH_PACKETS = 8192  # 64 MiB raw per super-batch
 class Compressor:
     """Base: filenames + the compress/decompress drive loop."""
 
+    # Backend packet geometry; decompress validates framed raw sizes
+    # against THIS (a configurable-geometry backend must reject raw
+    # sizes its kernels cannot decode).  TPUCompressor overrides it from
+    # its codec.
+    packet_size = UNCOMPRESSED_PACKET_SIZE
+
     def __init__(self, super_batch_packets: int = DEFAULT_SUPER_BATCH_PACKETS):
         self.super_batch_packets = super_batch_packets
 
@@ -170,7 +176,9 @@ class Compressor:
         with io:
             fout = open(dst, "wb")
         try:
-            reader = _PacketReader(fin)
+            reader = _PacketReader(
+                fin, max_raw=getattr(self, "packet_size",
+                                     UNCOMPRESSED_PACKET_SIZE))
             # Backends exposing decode_blob_geometry take the compacted
             # upload path: the reader builds the row-aligned device blob
             # directly (one copy per packet), skipping the fixed-stride
@@ -318,9 +326,14 @@ class _PacketReader:
     packet, src/gpu_compressor.cpp:299-310 — ~2.6 M syscalls on a 10 GB
     archive; the block walk keeps the same validation)."""
 
-    def __init__(self, fin, block_size: int = 8 << 20):
+    def __init__(self, fin, block_size: int = 8 << 20,
+                 max_raw: int = UNCOMPRESSED_PACKET_SIZE):
         self._fin = fin
         self._block = block_size
+        # Raw-size validation bound: the BACKEND's packet geometry (a
+        # configurable-packet_size backend must reject raw sizes its
+        # kernels cannot decode, not just ones over the global default).
+        self._max_raw = max_raw
         self._buf = b""
         self._pos = 0
         self._eof = False
@@ -367,8 +380,7 @@ class _PacketReader:
             total, raw = container.packet_sizes(
                 self._buf[self._pos: self._pos + PACKET_HEADER_LENGTH]
             )
-            container.validate_packet_header(
-                total, raw, UNCOMPRESSED_PACKET_SIZE)
+            container.validate_packet_header(total, raw, self._max_raw)
             if self._fill(total) < total:
                 raise container.ContainerError(
                     "Incorrect file format: truncated packet body"
@@ -418,8 +430,7 @@ class _PacketReader:
             total, raw = container.packet_sizes(
                 self._buf[self._pos: self._pos + PACKET_HEADER_LENGTH]
             )
-            container.validate_packet_header(
-                total, raw, UNCOMPRESSED_PACKET_SIZE)
+            container.validate_packet_header(total, raw, self._max_raw)
             if self._fill(total) < total:
                 raise container.ContainerError(
                     "Incorrect file format: truncated packet body"

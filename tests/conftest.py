@@ -27,6 +27,30 @@ def rng():
     return np.random.default_rng(0xA12C0DE)
 
 
+# The kernel knobs (PAIR_STEP, OFFSET_STATE, STREAMS, ...) are module
+# globals, NOT jit cache keys: a knob test whose static args + shapes
+# match an earlier trace would silently re-run the CACHED kernel and
+# pass vacuously — and its own knob-flipped trace would poison later
+# default-knob tests.  Clear both kernel caches around every test of the
+# knob-flipping modules (tiny interpret shapes; retrace cost is small).
+_KNOB_MODULES = ("test_pair_step", "test_offset_state",
+                 "test_stream_paths", "test_probe_harness")
+
+
+@pytest.fixture(autouse=True)
+def _fresh_kernel_caches(request):
+    if request.module.__name__ not in _KNOB_MODULES:
+        yield
+        return
+    from gpuar_tpu.ops import pallas_decode, pallas_encode
+
+    pallas_encode._encode_call.clear_cache()
+    pallas_decode._decode_call.clear_cache()
+    yield
+    pallas_encode._encode_call.clear_cache()
+    pallas_decode._decode_call.clear_cache()
+
+
 def fixture_corpora(rng, max_size=None):
     """The fixture classes from SURVEY.md §4: boundary sizes and contents."""
     sizes = [0, 1, 2, 15, 16, 17, 255, 4096, 8191, 8192, 8193, 16384, 20000]
