@@ -115,20 +115,29 @@ def main():
         9: ("dec pairW", lambda: (setattr(D, "PAIR_STEP", True),
                                   setattr(D, "PAIR_SPLITW", True),
                                   dec("dec[9] pair  SPLITW"))),
+        # Window-only pair: baseline table ops, shared bit-window
+        # bookkeeping (one ring gather per pair) — isolates the
+        # scalar-sharing term with no held table value.
+        10: ("dec pairO", lambda: (setattr(D, "PAIR_STEP", True),
+                                   setattr(D, "PAIR_WINONLY", True),
+                                   dec("dec[10] pair WINONLY"))),
     }
     only = [args.only] if args.only is not None else sorted(cfgs)
-    defaults = (D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP)
+    defaults = (D.PAIR_STEP, D.PAIR_SPLITW, D.PAIR_WINONLY,
+                D.STREAMS, E.PAIR_STEP)
     for i in only:
         # Reset every knob a config may have left behind (cfg 7/8 set
         # STREAMS=3; a later tile=1024 config would otherwise run a
         # non-dividing stream count).
-        D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP = defaults
+        (D.PAIR_STEP, D.PAIR_SPLITW, D.PAIR_WINONLY,
+         D.STREAMS, E.PAIR_STEP) = defaults
         try:
             cfgs[i][1]()
         except Exception as e:
             print(f"cfg[{i}] {cfgs[i][0]}: FAIL {type(e).__name__}: {e}",
                   flush=True)
-    D.PAIR_STEP, D.PAIR_SPLITW, D.STREAMS, E.PAIR_STEP = defaults
+    (D.PAIR_STEP, D.PAIR_SPLITW, D.PAIR_WINONLY,
+     D.STREAMS, E.PAIR_STEP) = defaults
 
 
 if __name__ == "__main__":

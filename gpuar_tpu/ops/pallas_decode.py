@@ -92,6 +92,13 @@ PAIR_STEP = False  # two-symbol decode step (round 5; the algorithm-level
                    # pair's LATE table write (after symbol 2's search)
                    # serializes against the next pair's read.  Covered by
                    # tests/test_pair_step.py either way.
+PAIR_WINONLY = False  # PAIR_STEP variant isolating the SCALAR-sharing
+                   # term alone: table ops stay exactly baseline (fresh
+                   # read per symbol, plain |255 threshold, immediate
+                   # update write — no held stale value, no fixups), and
+                   # only the bit-window bookkeeping pairs up (one window
+                   # build and ONE ring gather per pair instead of two —
+                   # a pair's word cursor advances at most 1).
 PAIR_SPLITW = False  # PAIR_STEP variant probing WHERE the pair loses:
                    # keep baseline's two update writes (write symbol 1's
                    # increment right after its search) but still search
@@ -724,11 +731,11 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
                                axis=0, keepdims=True), 8)
         low1 = _shr_u(packed1, 8)
         sym1 = packed1 & 255
-        if PAIR_SPLITW:
-            # Early write of symbol 1's increment: nothing downstream in
-            # this pair reads the table ref (symbol 2 searches the HELD
-            # stale value), so the write->read edge moves off the pair's
-            # serial chain entirely.
+        if PAIR_SPLITW or PAIR_WINONLY:
+            # Early write of symbol 1's increment: under SPLITW nothing
+            # downstream in this pair reads the table ref (symbol 2
+            # searches the HELD stale value); under WINONLY symbol 2
+            # re-reads it — exactly the baseline table schedule.
             up1w = jnp.where(active1, up1, jnp.int32(0x7FFFFFFF))
             if mode == "win":
                 Cs_all[si][0:128, :] = Cs + jnp.where(Cs > up1w, 0x100, 0)
@@ -768,26 +775,38 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
             code2 = jnp.where(active1, code2, code)
 
         # ---- symbol 2: post-update-exact search on the STALE read ----
+        # (PAIR_WINONLY instead re-reads the now-updated table and runs
+        # the plain baseline search: no held value, no fixups.)
         span2 = up3 - lo3 + 1
         u2 = _exact_div((code2 - lo3 + 1) * (cum1 + 1) - 1, span2)
-        up2p = (u2 << 8) | sym1
+        if PAIR_WINONLY:
+            up2p = (u2 << 8) | 255
+            CsB = Cs_all[si][0:128, :] if mode == "win" else Cs_all[si][:]
+        else:
+            up2p = (u2 << 8) | sym1
+            CsB = Cs
         if mode == "win":
             miss = miss | (active2 & (u2 >= c128))
-            sent2 = (c128_stale << 8) | 128
+            sent2 = ((c128 if PAIR_WINONLY else c128_stale) << 8) | 128
             c128 = c128 + active2.astype(i32)
+        elif PAIR_WINONLY:
+            sent2 = (cum2_s << 8) | 255
         else:
             sent2 = sent1          # stale C[256] = cum1, same packed form
-        packed2 = jnp.max(jnp.where(Cs <= up2p, Cs, -1),
+        packed2 = jnp.max(jnp.where(CsB <= up2p, CsB, -1),
                           axis=0, keepdims=True)
         sym2 = packed2 & 255
         # True bounds = stale values + the rows symbol 1's increment moved:
         # C'[sym2] = C[sym2] + (sym2 > sym1), C'[sym2+1] = C[sym2+1] +
         # (sym2+1 > sym1).  (active2 implies active1, so the increment is
-        # real on every lane whose result is kept.)
-        low2 = _shr_u(packed2, 8) + (sym2 > sym1).astype(i32)
-        high2 = _shr_u(jnp.min(jnp.where(Cs > up2p, Cs, sent2),
+        # real on every lane whose result is kept.)  WINONLY read the
+        # updated table, so its values need no fixups.
+        fix = 0 if PAIR_WINONLY else 1
+        low2 = _shr_u(packed2, 8) \
+            + fix * (sym2 > sym1).astype(i32)
+        high2 = _shr_u(jnp.min(jnp.where(CsB > up2p, CsB, sent2),
                                axis=0, keepdims=True), 8) \
-            + (sym2 >= sym1).astype(i32)
+            + fix * (sym2 >= sym1).astype(i32)
 
         # ---- merged update: both suffix increments, one pass ----
         # Written as ONE nested-where traversal over sorted thresholds
@@ -798,7 +817,15 @@ def _decode_kernel(sizes_ref, in_ref, *refs,
         big = jnp.int32(0x7FFFFFFF)
         up1e = jnp.where(active1, up1, big)
         up2e = jnp.where(active2, up2p, big)
-        if PAIR_SPLITW:
+        if PAIR_WINONLY:
+            # Baseline per-symbol update on the fresh read (symbol 1's
+            # was already written after its search).
+            if mode == "win":
+                Cs_all[si][0:128, :] = CsB + jnp.where(CsB > up2e,
+                                                       0x100, 0)
+            else:
+                Cs_all[si][:] = CsB + jnp.where(CsB > up2e, 0x100, 0)
+        elif PAIR_SPLITW:
             # Split-write variant (see the knob): symbol 1's increment
             # was already written right after its search; apply symbol
             # 2's on a FRESH read.  i > sym2 on the post-update-1 table

@@ -39,10 +39,11 @@ def test_pair_encode_bitstreams_match_golden(rng):
             f"lane {i} (size {sizes[i]}) diverged"
 
 
-@pytest.mark.parametrize("streams,hull,splitw",
-                         [(1, True, False), (2, False, False),
-                          (1, True, True), (1, False, True)])
-def test_pair_decode_roundtrip(rng, streams, hull, splitw):
+@pytest.mark.parametrize("streams,hull,splitw,winonly",
+                         [(1, True, False, False), (2, False, False, False),
+                          (1, True, True, False), (1, False, True, False),
+                          (1, True, False, True), (2, False, False, True)])
+def test_pair_decode_roundtrip(rng, streams, hull, splitw, winonly):
     P = 256
     n = 256
     data, sizes = _mixed_corpus(rng, n, P)
@@ -51,16 +52,17 @@ def test_pair_decode_roundtrip(rng, streams, hull, splitw):
         enc = native.encode_packet(data[i, : sizes[i]].tobytes())
         packets[i, : len(enc)] = np.frombuffer(enc, np.uint8)
     D = pallas_decode
-    saved = (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS, D.PAIR_SPLITW)
+    saved = (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS, D.PAIR_SPLITW,
+             D.PAIR_WINONLY)
     D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS = True, streams, True
-    D.PAIR_SPLITW = splitw
+    D.PAIR_SPLITW, D.PAIR_WINONLY = splitw, winonly
     try:
         out = D.decode_batch_pallas(
             packets, sizes, tile=256 if streams > 1 else 8,
             packet_size=P, interpret=True, hull=hull)
     finally:
         (D.PAIR_STEP, D.STREAMS, D.INTERPRET_STREAMS,
-         D.PAIR_SPLITW) = saved
+         D.PAIR_SPLITW, D.PAIR_WINONLY) = saved
     for i in range(n):
         assert out[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"lane {i}"
