@@ -515,6 +515,12 @@ class DistributedCompressor:
                 walk_body = _BodyView(fwalk, container.HEADER_LENGTH)
                 segs = _IterPrefetcher(_segment_stream(
                     walk_body, body_size, rank, world, chunkp))
+                # Compacted-upload path when the backend supports it
+                # (TPUCompressor): the segment loads as a row-aligned
+                # blob, skipping the stride batch + splice/expand host
+                # passes (see _load_segment_blob).
+                blob_geom = getattr(self.backend,
+                                    "decode_blob_geometry", None)
                 pending = None  # (handle, raw_sizes, raw_lo, raw_hi)
 
                 def _drain(p):
@@ -545,14 +551,27 @@ class DistributedCompressor:
                         # the next loop iteration would expose the full
                         # device time whenever ownership is strided —
                         # non-owned iterations are near-free.)
-                        with io:
-                            packets, raw_sizes = _load_segment(body, seg)
-                        with process:
-                            handle = (
-                                self.backend.decode_submit(
-                                    packets, raw_sizes),
-                                raw_sizes, int(seg[1, 0]),
-                                int(seg[1, -1]))
+                        if blob_geom is not None:
+                            with io:
+                                ublob, roff, clen, raw_sizes = \
+                                    _load_segment_blob(body, seg,
+                                                       *blob_geom())
+                            with process:
+                                handle = (
+                                    self.backend.decode_submit_blob(
+                                        ublob, roff, clen, raw_sizes),
+                                    raw_sizes, int(seg[1, 0]),
+                                    int(seg[1, -1]))
+                        else:
+                            with io:
+                                packets, raw_sizes = _load_segment(body,
+                                                                   seg)
+                            with process:
+                                handle = (
+                                    self.backend.decode_submit(
+                                        packets, raw_sizes),
+                                    raw_sizes, int(seg[1, 0]),
+                                    int(seg[1, -1]))
                         if pending is not None:
                             _drain(pending)
                         pending = handle
@@ -615,6 +634,38 @@ def _load_segment(body: "_BodyView", seg: np.ndarray):
         b = int(off[i + 1]) - base
         packets[i, : b - a] = np.frombuffer(blob[a:b], np.uint8)
     return packets, raw_sizes
+
+
+def _load_segment_blob(body: "_BodyView", seg: np.ndarray,
+                       row_bytes: int, bucket_rows: int):
+    """Load one walked index segment straight into the row-aligned device
+    upload blob (the round-5 compacted path, pipeline.read_batch_blob's
+    twin): the segment body read IS the dense packet concatenation, so a
+    single native.expand_at scatter replaces the fixed-stride batch, the
+    splice, and the per-packet Python loop.  Returns (blob, row_offsets,
+    comp_len, raw_sizes) for backend.decode_submit_blob."""
+    from gpuar_tpu import native
+
+    off = seg[0]
+    n = off.shape[0] - 1
+    comp_len = np.diff(off).astype(np.int32)
+    raw_sizes = np.diff(seg[1]).astype(np.int32)
+    base = int(off[0])
+    body.seek(base)
+    data = body.read(int(off[-1]) - base)
+    if len(data) < int(off[-1]) - base:
+        raise container.ContainerError(
+            "Incorrect file format: truncated packet body"
+        )
+    rcnt = (comp_len + row_bytes - 1) // row_bytes
+    roff = np.zeros(n, np.int32)
+    np.cumsum(rcnt[:-1], out=roff[1:])
+    rows = int(roff[-1] + rcnt[-1]) if n else 0
+    kb = -(-max(rows, 1) // bucket_rows) * bucket_rows
+    blob = native.expand_at(
+        np.frombuffer(data, np.uint8),
+        roff.astype(np.int64) * row_bytes, comp_len, kb * row_bytes)
+    return blob, roff, comp_len, raw_sizes
 
 
 def _load_packets(body: "_BodyView", index: np.ndarray, lo: int, hi: int):
