@@ -58,14 +58,23 @@ def _measure(data, sizes, tile, psize, og):
             f"lane {i} diverged"
 
     bd = jnp.asarray(packets.view(np.int32))
+    # Production parity: decode through the hull variant the pipeline's
+    # density router would pick for this batch (mesh._route_hull) — the
+    # r4 A/B measured the default-hull variant −3.5% on incompressible
+    # batches, which production never pays.
+    from gpuar_tpu.parallel.mesh import MeshCodec
+    density = (lens_v.astype(np.int64) * 8192
+               // np.maximum(sizes.astype(np.int64), 1))
+    hull = MeshCodec._route_hull(density)
     out = pallas_decode._decode_call(
-        bd, sz, tile=tile, packet_size=psize, out_groups=og)
+        bd, sz, tile=tile, packet_size=psize, out_groups=og, hull=hull)
     np.asarray(out[0:1, 0:1])  # warm
     ts = []
     for _ in range(5):
         t0 = time.time()
         out = pallas_decode._decode_call(
-            bd, sz, tile=tile, packet_size=psize, out_groups=og)
+            bd, sz, tile=tile, packet_size=psize, out_groups=og,
+            hull=hull)
         np.asarray(out[0:1, 0:1])
         ts.append(time.time() - t0)
     t_dec = min(ts)

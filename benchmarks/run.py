@@ -129,9 +129,17 @@ def bench_corpus(name: str, data: bytes, tile: int):
 
     bd = jnp.asarray(np.ascontiguousarray(packets).view(np.int32))
 
+    # Production parity: decode through the hull variant the pipeline's
+    # density router would pick for this batch (mesh._route_hull).
+    from gpuar_tpu.parallel.mesh import MeshCodec
+    density = (lens_v[:n].astype(np.int64) * 8192
+               // np.maximum(sizes[:n].astype(np.int64), 1))
+    hull = MeshCodec._route_hull(density)
+
     def dec():
         return pallas_decode._decode_call(
-            bd, sz, tile=tile, packet_size=psize, out_groups=og)
+            bd, sz, tile=tile, packet_size=psize, out_groups=og,
+            hull=hull)
 
     out = dec()
     np.asarray(out[0:1, 0:1])
