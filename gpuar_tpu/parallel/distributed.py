@@ -41,7 +41,7 @@ from gpuar_tpu.config import (
     PACKET_HEADER_LENGTH,
     UNCOMPRESSED_PACKET_SIZE,
 )
-from gpuar_tpu.pipeline import _splice
+from gpuar_tpu.pipeline import _hull_hint, _splice
 from gpuar_tpu.utils.stats import CompressionInfo, ProgressMonitor, SplitTimer
 
 
@@ -522,12 +522,18 @@ class DistributedCompressor:
                 blob_geom = getattr(self.backend,
                                     "decode_blob_geometry", None)
                 pending = None  # (handle, raw_sizes, raw_lo, raw_hi)
+                # Adaptive hull routing from decoded content (see
+                # pipeline._hull_hint); None until the first owned
+                # segment lands.
+                hint = {"hull": None}
 
                 def _drain(p):
                     h, raw_sizes, raw_lo, raw_hi = p
                     with process:
                         raw = self.backend.decode_fetch(h)
                         piece = _splice(raw, raw_sizes)
+                        if blob_geom is not None:
+                            hint["hull"] = _hull_hint(raw)
                     with io:
                         # Raw offsets come from the walked index, so
                         # short non-final packets land right.
@@ -559,7 +565,8 @@ class DistributedCompressor:
                             with process:
                                 handle = (
                                     self.backend.decode_submit_blob(
-                                        ublob, roff, clen, raw_sizes),
+                                        ublob, roff, clen, raw_sizes,
+                                        hull_hint=hint["hull"]),
                                     raw_sizes, int(seg[1, 0]),
                                     int(seg[1, -1]))
                         else:

@@ -430,15 +430,23 @@ class MeshCodec:
         return bool(np.median(density) < int(0.97 * 8192))
 
     def _dispatch_sorted_decode(self, pk, raw_sizes, comp_len, density,
-                                n, n_pad):
+                                n, n_pad, hull_hint=None):
         """Shared decode dispatch tail: density sort/unsort permutations,
         sizes padding, hull routing, and the debug unwrap — one place for
-        all three entry points (stride, body, blob)."""
+        all three entry points (stride, body, blob).
+
+        hull_hint: content-derived routing override (pipeline-level
+        adaptive routing — the decoded bytes of a PREVIOUS batch reveal
+        what density cannot: whether chunks actually stay in rows
+        [0,128), i.e. whether the low-window bet pays).  None keeps the
+        density route.  A wrong hint only costs speed, never bits."""
         order, inv = _pad_perm(
             np.argsort(density, kind="stable").astype(np.int32), n_pad)
         sz = np.zeros((1, n_pad), np.int32)
         sz[0, :n] = raw_sizes
-        out = self._dec_sorted(self._route_hull(density))(
+        hull = hull_hint if hull_hint is not None \
+            else self._route_hull(density)
+        out = self._dec_sorted(hull)(
             pk, jnp.asarray(sz), jnp.asarray(order), jnp.asarray(inv))
         if self.debug:
             out, flags = out
@@ -515,7 +523,8 @@ class MeshCodec:
             pk, raw_sizes, comp_len, density, n, n_pad)
 
     def decode_blob_async(self, blob: np.ndarray, roff: np.ndarray,
-                          comp_len: np.ndarray, raw_sizes: np.ndarray):
+                          comp_len: np.ndarray, raw_sizes: np.ndarray,
+                          hull_hint: bool | None = None):
         """Like decode_body_async, but the caller already built the
         row-aligned upload blob (pipeline._PacketReader.read_batch_blob),
         so the submit path does NO whole-body host passes — the splice +
@@ -536,7 +545,8 @@ class MeshCodec:
         pk = self._expand(jnp.asarray(blob.view(np.int32).reshape(-1, R)),
                           jnp.asarray(roff_pad))
         return self._dispatch_sorted_decode(
-            pk, raw_sizes, comp_len, density, n, n_pad)
+            pk, raw_sizes, comp_len, density, n, n_pad,
+            hull_hint=hull_hint)
 
     def decode_body_wait(self, handle) -> np.ndarray:
         return self.decode_wait(handle)

@@ -99,9 +99,11 @@ class TPUCompressor(Compressor):
 
         return (self.codec.row_words * 4, _BUCKET_ROWS)
 
-    def decode_submit_blob(self, blob, roff, comp_len, raw_sizes):
+    def decode_submit_blob(self, blob, roff, comp_len, raw_sizes,
+                           hull_hint=None):
         return self.codec.decode_blob_async(blob, roff, comp_len,
-                                            raw_sizes)
+                                            raw_sizes,
+                                            hull_hint=hull_hint)
 
     def decode_fetch(self, handle):
         return self.codec.decode_body_wait(handle)

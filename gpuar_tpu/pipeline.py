@@ -187,6 +187,13 @@ class Compressor:
             blob_geom = getattr(self, "decode_blob_geometry", None)
             pending = None  # (handle, raw_sizes)
             eof = False
+            # Adaptive hull routing: the decoded bytes of an earlier
+            # batch predict whether the low-window decode bet pays for
+            # the next one (density alone cannot tell ASCII-pure text,
+            # which gains +13-25%, from binary-laced text, which loses
+            # ~2% — PROBES_r4/_r4d_hull A/Bs).  None until the first
+            # batch lands; a wrong hint only costs speed, never bits.
+            hull_hint = None
             while not eof or pending is not None:
                 handle = None
                 if not eof and blob_geom is not None:
@@ -197,7 +204,8 @@ class Compressor:
                         blob, roff, comp_len, raw_sizes = batch
                         with process:
                             handle = (self.decode_submit_blob(
-                                blob, roff, comp_len, raw_sizes), raw_sizes)
+                                blob, roff, comp_len, raw_sizes,
+                                hull_hint=hull_hint), raw_sizes)
                     else:
                         eof = True
                 elif not eof:
@@ -216,6 +224,8 @@ class Compressor:
                     with process:
                         raw = self.decode_fetch(h)
                         body = _splice(raw, sizes_n)
+                        if blob_geom is not None:
+                            hull_hint = _hull_hint(raw)
                     with io:
                         fout.write(body)
                     info.processed_uncompressed_size += int(sizes_n.sum())
@@ -296,6 +306,24 @@ def _check_resume_matches(src, done_raw: int, last_packet: bytes) -> None:
             "already in the output (input changed since the interrupted "
             "run); rerun without --resume"
         )
+
+
+def _hull_hint(raw: np.ndarray) -> bool:
+    """Content-derived decode-route hint from an already-decoded batch.
+
+    The speculative low-window decode bet pays only when whole packets
+    stay in byte rows [0, 128) — ASCII-pure text gains +13-25%, while
+    binary-laced text and random data pay the bet's overhead for nothing
+    (PROBES_r4 hull A/Bs).  Density cannot tell those apart; the decoded
+    BYTES can: sample up to 64 packets and vote on whether the majority
+    are entirely low-byte.  Streams autocorrelate batch to batch, so the
+    previous batch's verdict routes the next one.
+    """
+    n = raw.shape[0]
+    if n == 0:
+        return False
+    sample = raw[:: max(n // 64, 1)][:64]
+    return bool(np.mean(sample.max(axis=1) < 128) >= 0.5)
 
 
 def _splice(packets: np.ndarray, lengths: np.ndarray) -> np.ndarray:
