@@ -347,3 +347,35 @@ def test_library_host_fallback_warns(monkeypatch):
     # semantics), not warn.
     with pytest.raises(RuntimeError, match="no chip today"):
         gpuar_tpu._pick_backend(host=False, threads=1, debug=True)
+
+
+def test_hull_hint_content_vote(rng):
+    """The adaptive decode-route hint (round 5): majority vote over sampled
+    packets' byte maxima — ASCII-pure batches hint True (take the
+    low-window bet), anything binary-laced hints False.  A wrong hint only
+    costs speed (both kernel variants are bit-exact), but the vote itself
+    is pinned here so routing regressions surface as test failures, not
+    silent slowdowns."""
+    from gpuar_tpu.pipeline import _hull_hint
+
+    ascii_batch = rng.integers(0, 128, (9, P), np.uint8)
+    assert _hull_hint(ascii_batch) is True
+
+    binary_batch = rng.integers(0, 256, (9, P), np.uint8)
+    assert _hull_hint(binary_batch) is False
+
+    # Majority vote: 5 of 9 low-byte packets -> True; 4 of 9 -> False.
+    mixed = ascii_batch.copy()
+    mixed[:4, 0] = 255
+    assert _hull_hint(mixed) is True
+    mixed[4, 0] = 255
+    assert _hull_hint(mixed) is False
+
+    # Empty fetch (a tail super-batch) must not take the bet — and must
+    # not crash on the degenerate shape.
+    assert _hull_hint(np.zeros((0, P), np.uint8)) is False
+
+    # Large batches vote on a <=64-packet sample: a batch whose sampled
+    # stride lands on low-byte packets still hints True.
+    big = rng.integers(0, 128, (1000, P), np.uint8)
+    assert _hull_hint(big) is True

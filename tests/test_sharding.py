@@ -107,6 +107,16 @@ def test_compacted_body_path_matches_stride_path(rng):
         assert out2[i, : sizes[i]].tobytes() == \
             data[i, : sizes[i]].tobytes(), f"blob lane {i}"
 
+    # Adaptive hull routing (round 5): a pipeline-supplied hull_hint
+    # overrides the density route, and a WRONG hint must only cost
+    # speed, never bits — both kernel variants decode identically.
+    for hint in (True, False):
+        out3 = codec.decode_body_wait(codec.decode_blob_async(
+            blob, roff, comp_len, raw2, hull_hint=hint))
+        for i in range(n):
+            assert out3[i, : sizes[i]].tobytes() == \
+                data[i, : sizes[i]].tobytes(), f"hint={hint} lane {i}"
+
 
 def test_compacted_body_fixup_rare_path(rng):
     """An error-flagged lane (adversarial underflow run past the kernel
