@@ -293,3 +293,31 @@ def test_segment_stream_chunk_mismatch_detected(rng, monkeypatch):
     with pytest.raises(RuntimeError, match="chunk mismatch"):
         list(dist._segment_stream(None, len(blob), rank=1, world=2,
                                   chunk_packets=3))
+
+
+def test_load_segment_blob_matches_stride_loader():
+    """The round-5 compacted segment loader must place exactly the bytes
+    the stride loader reads, row-aligned and bucket-padded, and must
+    surface mid-packet truncation as a container error (the index walk
+    validates headers only)."""
+    bodies = [bytes([i]) * (10 + 7 * i) for i in range(5)]
+    blob = _framed_blob(bodies)
+    idx = dist.walk_packet_index(io.BytesIO(blob), len(blob))
+    row_bytes, bucket_rows = 96, 8
+
+    ublob, roff, clen, raw = dist._load_segment_blob(
+        dist._BodyView(io.BytesIO(blob), 0), idx, row_bytes, bucket_rows)
+    packets, raw2 = dist._load_segment(
+        dist._BodyView(io.BytesIO(blob), 0), idx)
+    assert np.array_equal(raw, raw2)
+    assert np.array_equal(clen, np.diff(idx[0]).astype(np.int32))
+    for i in range(len(bodies)):
+        a = int(roff[i]) * row_bytes
+        assert ublob[a: a + clen[i]].tobytes() == \
+            packets[i, : clen[i]].tobytes(), f"packet {i}"
+    assert ublob.size % (bucket_rows * row_bytes) == 0
+
+    with pytest.raises(container.ContainerError, match="truncated"):
+        dist._load_segment_blob(
+            dist._BodyView(io.BytesIO(blob[:-3]), 0), idx,
+            row_bytes, bucket_rows)
